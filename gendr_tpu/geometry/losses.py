@@ -1,0 +1,142 @@
+"""Mesh regularization losses: uniform Laplacian and dihedral flatness.
+
+API/semantics parity with gendr/losses.py:11-120, but TPU-native:
+* ``LaplacianLoss`` — the reference materializes a dense nv x nv matrix and
+  does a dense matmul (losses.py:17-36, O(nv^2) memory).  Here the uniform
+  Laplacian is applied as a sparse gather + segment_sum (O(E)); numerically
+  identical: L x = x - mean of neighbor vertices.
+* ``FlattenLoss`` — the reference builds the edge -> opposite-vertex tables
+  with an O(E*F) Python loop (losses.py:52-71); here a dict pass, same
+  tables, identical forward math (losses.py:78-120).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class LaplacianLoss:
+    """||L x||^2 with the row-normalized uniform graph Laplacian."""
+
+    def __init__(self, vertex, faces, average=False):
+        faces = np.asarray(faces)
+        self.nv = int(np.asarray(vertex).shape[0])
+        self.nf = int(faces.shape[0])
+        self.average = average
+
+        # undirected unique edges from the triangle list
+        edges = set()
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            edges.add((min(a, b), max(a, b)))
+            edges.add((min(b, c), max(b, c)))
+            edges.add((min(a, c), max(a, c)))
+        e = np.array(sorted(edges), np.int32)
+        # both directions: row i gathers neighbor j
+        self.rows = jnp.asarray(np.concatenate([e[:, 0], e[:, 1]]))
+        self.cols = jnp.asarray(np.concatenate([e[:, 1], e[:, 0]]))
+        deg = np.zeros(self.nv, np.float32)
+        np.add.at(deg, e[:, 0], 1)
+        np.add.at(deg, e[:, 1], 1)
+        self.deg = jnp.asarray(np.maximum(deg, 1.0))
+
+    def __call__(self, x):
+        """x: [B, nv, 3] -> per-batch loss [B] (losses.py:34-42)."""
+        import jax
+        neighbor_sum = jax.vmap(
+            lambda xv: jax.ops.segment_sum(xv[self.cols], self.rows,
+                                           num_segments=self.nv))(x)
+        lap = x - neighbor_sum / self.deg[None, :, None]
+        loss = jnp.sum(lap ** 2, axis=(1, 2))
+        if self.average:
+            return jnp.sum(loss) / x.shape[0]
+        return loss
+
+    forward = __call__
+
+
+class FlattenLoss:
+    """Penalize (cos(dihedral) + 1)^2 across interior edges."""
+
+    def __init__(self, faces, average=False):
+        faces = np.asarray(faces)
+        self.nf = int(faces.shape[0])
+        self.average = average
+
+        # Edge set exactly as the reference builds it (losses.py:52): sorted
+        # tuples of the (f0,f1) and (f1,f2) vertex pairs of every face.
+        edge_set = set()
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            edge_set.add((min(a, b), max(a, b)))
+            edge_set.add((min(b, c), max(b, c)))
+
+        # Opposite vertices come from *all* faces containing both endpoints,
+        # in face order (losses.py:58-69) — built here with a dict pass
+        # instead of the reference's O(E*F) scan.
+        opposite = {e: [] for e in edge_set}
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            for (e, opp) in (((min(a, b), max(a, b)), c),
+                             ((min(b, c), max(b, c)), a),
+                             ((min(a, c), max(a, c)), b)):
+                if e in opposite:
+                    opposite[e].append(opp)
+
+        # The reference assumes a closed manifold (exactly 2 incident faces
+        # per edge); for open meshes we drop boundary edges from the loss.
+        v0s, v1s, v2s, v3s = [], [], [], []
+        for (u, v) in sorted(edge_set):
+            opps = opposite[(u, v)]
+            if len(opps) < 2:
+                continue
+            v0s.append(u)
+            v1s.append(v)
+            v2s.append(opps[0])
+            v3s.append(opps[1])
+        self.v0s = jnp.asarray(np.array(v0s, np.int32))
+        self.v1s = jnp.asarray(np.array(v1s, np.int32))
+        self.v2s = jnp.asarray(np.array(v2s, np.int32))
+        self.v3s = jnp.asarray(np.array(v3s, np.int32))
+
+    def __call__(self, vertices, eps=1e-6):
+        """vertices: [B, nv, 3] -> [B] (losses.py:78-120)."""
+        v0s = vertices[:, self.v0s, :]
+        v1s = vertices[:, self.v1s, :]
+        v2s = vertices[:, self.v2s, :]
+        v3s = vertices[:, self.v3s, :]
+
+        a1 = v1s - v0s
+        b1 = v2s - v0s
+        a1l2 = jnp.sum(a1 ** 2, -1)
+        b1l2 = jnp.sum(b1 ** 2, -1)
+        a1l1 = jnp.sqrt(a1l2 + eps)
+        b1l1 = jnp.sqrt(b1l2 + eps)
+        ab1 = jnp.sum(a1 * b1, -1)
+        cos1 = ab1 / (a1l1 * b1l1 + eps)
+        sin1 = jnp.sqrt(1 - cos1 ** 2 + eps)
+        c1 = a1 * (ab1 / (a1l2 + eps))[:, :, None]
+        cb1 = b1 - c1
+        cb1l1 = b1l1 * sin1
+
+        a2 = v1s - v0s
+        b2 = v3s - v0s
+        a2l2 = jnp.sum(a2 ** 2, -1)
+        b2l2 = jnp.sum(b2 ** 2, -1)
+        a2l1 = jnp.sqrt(a2l2 + eps)
+        b2l1 = jnp.sqrt(b2l2 + eps)
+        ab2 = jnp.sum(a2 * b2, -1)
+        cos2 = ab2 / (a2l1 * b2l1 + eps)
+        sin2 = jnp.sqrt(1 - cos2 ** 2 + eps)
+        c2 = a2 * (ab2 / (a2l2 + eps))[:, :, None]
+        cb2 = b2 - c2
+        cb2l1 = b2l1 * sin2
+
+        cos = jnp.sum(cb1 * cb2, -1) / (cb1l1 * cb2l1 + eps)
+        loss = jnp.sum((cos + 1) ** 2, axis=1)
+        if self.average:
+            return jnp.sum(loss) / vertices.shape[0]
+        return loss
+
+    forward = __call__

@@ -1,0 +1,174 @@
+"""T-conorm zoo: 9 soft OR operators for alpha-channel aggregation.
+
+``fold_step`` is the binary t-conorm used in the streaming fold over faces
+(forward); ``aggregate_backward`` is the reference's aggregate-inverse
+gradient rule: the derivative of ``A = ⊥(b_1..b_n)`` w.r.t. ``b_i`` is
+reconstructed from the *total* aggregate ``A`` and ``b_i`` alone, so no
+per-face partial products are ever stored.  This matters: naive autodiff
+through a sequential fold would yield prefix-product gradients instead.
+
+Formulas mirror the reference CUDA implementation exactly, including every
+``max(..., 1e-6)`` guard:
+
+* forward:  ``gendr/cuda/generalized_renderer_cuda_kernel.cu:473-563``
+* backward: ``gendr/cuda/generalized_renderer_cuda_kernel.cu:566-614``
+
+All ops are elementwise jnp; the t-conorm id is static so only one branch is
+traced.  Folding with ``b = 0`` is the identity for every t-conorm here,
+which is what makes masked (culled) faces drop out of the aggregation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gendr_tpu import config as C
+
+
+def _p(v):
+    return jnp.asarray(v, jnp.float32)
+
+
+def fold_step(t_conorm_id: int, a, b, p=0.0):
+    """a ⊥ b for the selected t-conorm (cu:473-563)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+
+    if t_conorm_id == C.MAX_TCN:
+        return jnp.maximum(a, b)
+
+    if t_conorm_id == C.PROBABILISTIC_TCN:
+        return a + b - a * b
+
+    if t_conorm_id == C.EINSTEIN_TCN:
+        return (a + b) / (1.0 + a * b)
+
+    if t_conorm_id == C.HAMACHER_TCN:  # p >= 0
+        p = _p(p)
+        an, bn = 1.0 - a, 1.0 - b
+        c = (an * bn) / jnp.maximum(p + (1.0 - p) * (an + bn - an * bn), 1e-6)
+        return 1.0 - c
+
+    if t_conorm_id == C.FRANK_TCN:  # p > 0, p != 1
+        p = _p(p)
+        an, bn = 1.0 - a, 1.0 - b
+        c = jnp.log1p((jnp.power(p, an) - 1.0) * (jnp.power(p, bn) - 1.0)
+                      / (p - 1.0)) / jnp.log(p)
+        return 1.0 - c
+
+    if t_conorm_id == C.YAGER_TCN:  # p > 0
+        p = _p(p)
+        c = jnp.maximum(
+            0.0, 1.0 - jnp.power(jnp.power(a, p) + jnp.power(b, p), 1.0 / p))
+        return 1.0 - c
+
+    if t_conorm_id == C.ACZEL_ALSINA_TCN:  # p > 0
+        p = _p(p)
+        an, bn = 1.0 - a, 1.0 - b
+        an_s = jnp.maximum(an, 1e-30)
+        bn_s = jnp.maximum(bn, 1e-30)
+        c = jnp.exp(-jnp.power(
+            jnp.power(-jnp.log(an_s), p) + jnp.power(-jnp.log(bn_s), p),
+            1.0 / p))
+        # cu:528-529: if 1-a < 1e-8 (or 1-b) the result saturates to 1
+        return jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+
+    if t_conorm_id == C.DOMBI_TCN:  # p > 0
+        p = _p(p)
+        an, bn = 1.0 - a, 1.0 - b
+        an_s = jnp.maximum(an, 1e-30)
+        bn_s = jnp.maximum(bn, 1e-30)
+        c = 1.0 / (1.0 + jnp.power(
+            jnp.power((1.0 - an_s) / an_s, p)
+            + jnp.power((1.0 - bn_s) / bn_s, p), 1.0 / p))
+        return jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+
+    if t_conorm_id == C.SCHWEIZER_SKLAR_TCN:  # p < 0
+        p = _p(p)
+        an = jnp.maximum(1.0 - a, 1e-30)
+        bn = jnp.maximum(1.0 - b, 1e-30)
+        c = jnp.power(jnp.power(an, p) + jnp.power(bn, p) - 1.0, 1.0 / p)
+        return 1.0 - c
+
+    raise ValueError(f'unknown t_conorm id: {t_conorm_id}')
+
+
+def aggregate_backward(t_conorm_id: int, a_all, b, p=0.0):
+    """dA/db_i reconstructed from the total aggregate (cu:566-614)."""
+    a_all = jnp.asarray(a_all, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+
+    if t_conorm_id == C.MAX_TCN:
+        # exact float equality, as in the reference (cu:574-575)
+        return jnp.where(a_all == b, 1.0, 0.0)
+
+    if t_conorm_id == C.PROBABILISTIC_TCN:
+        return (1.0 - a_all) / jnp.maximum(1.0 - b, 1e-6)
+
+    if t_conorm_id == C.EINSTEIN_TCN:
+        return (1.0 - a_all * a_all) / jnp.maximum(1.0 - b * b, 1e-6)
+
+    if t_conorm_id == C.HAMACHER_TCN:
+        p = _p(p)
+        num = (1.0 - a_all) * (-a_all - p * (1.0 - a_all) + p + 1.0)
+        den = (1.0 - b) * (-b - p * (1.0 - b) + p + 1.0)
+        return num / jnp.maximum(den, 1e-6)
+
+    if t_conorm_id == C.FRANK_TCN:
+        p = _p(p)
+        d = jnp.power(p, 1.0 - b) - 1.0
+        d_guard = d + jnp.where(d >= 0, 1e-6, -1e-6)  # copysign(1e-6, d)
+        return jnp.power(p, a_all - b) * (jnp.power(p, 1.0 - a_all) - 1.0) \
+            / d_guard
+
+    if t_conorm_id == C.YAGER_TCN:
+        p = _p(p)
+        b_s = jnp.maximum(b, 1e-30)
+        a_s = jnp.maximum(a_all, 1e-30)
+        val = jnp.power(b_s, p - 1.0) * jnp.power(a_s, 1.0 - p)
+        return jnp.where(a_all == 1.0, 0.0, val)
+
+    if t_conorm_id == C.ACZEL_ALSINA_TCN:
+        p = _p(p)
+        log_b = -jnp.log1p(jnp.maximum(-b, -1.0 + 1e-6))
+        log_a = -jnp.log1p(jnp.maximum(-a_all, -1.0 + 1e-6))
+        return (1.0 - a_all) \
+            * jnp.power(jnp.maximum(log_b, 1e-30), p - 1.0) \
+            * jnp.power(jnp.maximum(log_a, 1e-30), 1.0 - p) \
+            / jnp.maximum(1.0 - b, 1e-6)
+
+    if t_conorm_id == C.DOMBI_TCN:
+        p = _p(p)
+        bn = jnp.maximum(1.0 - b, 1e-6)
+        an = jnp.maximum(1.0 - a_all, 1e-6)
+        b_s = jnp.maximum(b, 1e-30)
+        a_s = jnp.maximum(a_all, 1e-30)
+        return (1.0 - a_all) * (1.0 - a_all) \
+            * jnp.power(b_s / bn, p - 1.0) \
+            * jnp.power(a_s / an, 1.0 - p) \
+            / bn / bn
+
+    if t_conorm_id == C.SCHWEIZER_SKLAR_TCN:
+        p = _p(p)
+        an = jnp.maximum(1.0 - a_all, 1e-6)
+        bn = jnp.maximum(1.0 - b, 1e-6)
+        bp = jnp.power(bn, p)
+        ap = jnp.power(an, p)
+        inner = jnp.power(jnp.power(-bp + ap + 1.0, 1.0 / p), p)
+        return jnp.power(bn, p - 1.0) \
+            * jnp.power(bp + inner - 1.0, (1.0 - p) / p)
+
+    raise ValueError(f'unknown t_conorm id: {t_conorm_id}')
+
+
+# -- scalar verification seam (mirrors the reference's pybind scalar exports,
+#    generalized_renderer_cuda.cpp:211-237) ---------------------------------
+
+def t_conorm_forward(t_conorm_id, a_existing, b_new, face_id=0, t_conorm_p=0.0):
+    return float(fold_step(int(t_conorm_id), a_existing, b_new, t_conorm_p))
+
+
+def t_conorm_backward(t_conorm_id, a_all, b_current, number_of_faces=0,
+                      t_conorm_p=0.0):
+    return float(aggregate_backward(int(t_conorm_id), a_all, b_current,
+                                    t_conorm_p))

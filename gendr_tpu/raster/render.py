@@ -1,0 +1,132 @@
+"""Public differentiable render entry point (custom VJP).
+
+Equivalent of the reference's autograd Function + ``render`` wrapper
+(gendr/functional/renderer.py:11-288): gradients flow only to
+``face_vertices`` and ``textures``; the backward pass is recompute-based with
+the same residual footprint (faces, textures, soft_colors, faces_info,
+aggrs_info — functional/renderer.py:183).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from gendr_tpu import config as C
+from gendr_tpu.raster import prep, xla_backend
+
+
+def _get_backend(cfg: C.RenderConfig):
+    if cfg.backend == 'pallas':
+        from gendr_tpu.raster import pallas_backend
+        return pallas_backend
+    return xla_backend
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_core(cfg, face_vertices, textures, params):
+    finfo = prep.faces_info(face_vertices)
+    soft_colors, _ = _get_backend(cfg).forward(
+        face_vertices, textures, finfo, cfg, params)
+    return soft_colors
+
+
+def _render_fwd(cfg, face_vertices, textures, params):
+    finfo = prep.faces_info(face_vertices)
+    soft_colors, aggrs_info = _get_backend(cfg).forward(
+        face_vertices, textures, finfo, cfg, params)
+    residuals = (face_vertices, textures, finfo, soft_colors, aggrs_info,
+                 params)
+    return soft_colors, residuals
+
+
+def _render_bwd(cfg, residuals, grad_soft_colors):
+    face_vertices, textures, finfo, soft_colors, aggrs_info, params = \
+        residuals
+    grad_faces, grad_textures = _get_backend(cfg).backward(
+        face_vertices, textures, finfo, soft_colors, aggrs_info,
+        grad_soft_colors, cfg, params)
+    zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return grad_faces, grad_textures, zero_params
+
+
+_render_core.defvjp(_render_fwd, _render_bwd)
+
+
+def render(
+    face_vertices,
+    textures,
+    #
+    image_size=256,
+    background_color=(0, 0, 0),
+    #
+    dist_func: Union[str, int] = 'uniform',
+    dist_scale=1e-2,
+    dist_squared=False,
+    dist_shape=None,
+    dist_shift=None,
+    dist_eps=1e4,
+    #
+    aggr_alpha_func: Union[str, int] = 'probabilistic',
+    aggr_alpha_t_conorm_p=None,
+    #
+    aggr_rgb_func: Union[str, int] = 'softmax',
+    aggr_rgb_eps=1e-3,
+    aggr_rgb_gamma=1e-3,
+    #
+    near=1,
+    far=100,
+    double_side=True,
+    texture_type='surface',
+    #
+    backend='xla',
+    face_chunk=128,
+):
+    """Differentiable generalized rasterization.
+
+    face_vertices: [B, F, 3, 3] or [B, F, 9]; textures: [B, F, TS, 3]
+    (surface) or [B, F, 3, 3] (vertex colors gathered per face).
+    Returns soft_colors [B, 4(RGBA), H, W].
+
+    Same keyword surface and defaults as the reference's functional
+    ``render`` (functional/renderer.py:239-288).
+    """
+    cfg = C.RenderConfig.create(
+        image_size=image_size, dist_func=dist_func, dist_squared=dist_squared,
+        aggr_alpha_func=aggr_alpha_func, aggr_rgb_func=aggr_rgb_func,
+        double_side=double_side, texture_type=texture_type, backend=backend,
+        face_chunk=face_chunk)
+
+    # dist_scale >= 0 and dist_eps >= 1 (functional/renderer.py:96, 101);
+    # static python values are checked eagerly, traced values pass through.
+    if isinstance(dist_scale, (int, float)):
+        assert dist_scale >= 0, dist_scale
+    if isinstance(dist_eps, (int, float)):
+        assert dist_eps >= 1, dist_eps
+
+    face_vertices = jnp.asarray(face_vertices, jnp.float32)
+    if face_vertices.ndim == 4:
+        face_vertices = face_vertices.reshape(
+            face_vertices.shape[0], face_vertices.shape[1], 9)
+    textures = jnp.asarray(textures, jnp.float32)
+
+    params = dict(
+        dist_scale=jnp.asarray(dist_scale, jnp.float32),
+        dist_shape=jnp.asarray(
+            0.0 if dist_shape is None else dist_shape, jnp.float32),
+        dist_shift=jnp.asarray(
+            0.0 if dist_shift is None else dist_shift, jnp.float32),
+        dist_eps=jnp.asarray(dist_eps, jnp.float32),
+        aggr_alpha_t_conorm_p=jnp.asarray(
+            0.0 if aggr_alpha_t_conorm_p is None else aggr_alpha_t_conorm_p,
+            jnp.float32),
+        aggr_rgb_eps=jnp.asarray(aggr_rgb_eps, jnp.float32),
+        aggr_rgb_gamma=jnp.asarray(aggr_rgb_gamma, jnp.float32),
+        near=jnp.asarray(near, jnp.float32),
+        far=jnp.asarray(far, jnp.float32),
+        background_color=jnp.asarray(background_color, jnp.float32),
+    )
+    return _render_core(cfg, face_vertices, textures, params)

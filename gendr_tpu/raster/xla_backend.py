@@ -1,0 +1,423 @@
+"""Pure-XLA streaming rasterizer: face-chunked scan with associative folds.
+
+This is the TPU re-design of the reference's per-pixel CUDA loops
+(``forward_render_cuda_kernel`` cu:680-862, ``backward_render_cuda_kernel``
+cu:866-1065).  Instead of one thread per pixel serially looping over all
+faces, each scan step processes a [B, P, CF] pixel x face-chunk block fully
+vectorized, and the per-pixel aggregation state (alpha t-conorm fold,
+streaming softmax-depth RGB, or hard z-argmin) is carried across chunks —
+the same math that makes ring attention work: the t-conorm is associative
+and the softmax is a streaming logsumexp.
+
+Gradients are accumulated per chunk with dense reductions over the pixel
+axis (deterministic by construction — no atomics, unlike the reference's
+``atomicAdd`` scatter, cu:1054-1063).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from gendr_tpu import config as C
+from gendr_tpu.ops import distributions as D
+from gendr_tpu.ops import tconorms as T
+from gendr_tpu.raster import geometry as G
+
+BIG_DEPTH = 10000000.0  # cu:739
+NEG_INF = -1e30
+
+
+def pixel_grid(image_size: int):
+    """NDC pixel centers, flattened row-major over the output image
+    (cu:712-719: yi = is-1-row is the vertical flip)."""
+    is_ = image_size
+    rows = jnp.arange(is_ * is_, dtype=jnp.int32) // is_
+    cols = jnp.arange(is_ * is_, dtype=jnp.int32) % is_
+    yi = (is_ - 1 - rows).astype(jnp.float32)
+    xi = cols.astype(jnp.float32)
+    yp = (2.0 * yi + 1.0 - is_) / is_
+    xp = (2.0 * xi + 1.0 - is_) / is_
+    return xp, yp
+
+
+def tconorm_chunk_reduce(tid: int, frags: jnp.ndarray, p) -> jnp.ndarray:
+    """Tree-reduce the face axis (last) with the t-conorm.
+
+    Associativity + commutativity of t-conorms makes the tree order
+    equivalent to the reference's sequential fold up to float rounding;
+    0 is the neutral element so zero-padding is exact.
+    """
+    n = frags.shape[-1]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = jnp.zeros(frags.shape[:-1] + (m - n,), frags.dtype)
+        frags = jnp.concatenate([frags, pad], axis=-1)
+    while m > 1:
+        h = m // 2
+        frags = T.fold_step(tid, frags[..., :h], frags[..., h:m], p)
+        m = h
+    return frags[..., 0]
+
+
+def _pair_quantities(face9, info27, fvalid, xp, yp, cfg: C.RenderConfig,
+                     params: Dict):
+    """All per-(pixel, face) quantities for one chunk.
+
+    face9: [B, CF, 9]; info27: [B, CF, 27]; fvalid: [CF] bool (padding mask);
+    xp, yp: [P].  Every returned array broadcasts to [B, P, CF].
+    """
+    fb = face9[:, None, :, :]          # [B, 1, CF, 9]
+    ib = info27[:, None, :, :]
+    xpb = xp[None, :, None]            # [1, P, 1]
+    ypb = yp[None, :, None]
+
+    xy = tuple(fb[..., i] for i in (0, 1, 3, 4, 6, 7))
+    z = (fb[..., 2], fb[..., 5], fb[..., 8])
+    inv = tuple(ib[..., i] for i in range(9))
+    sym = tuple(ib[..., 9 + i] for i in range(9))
+    obt = tuple(ib[..., 18 + i] for i in range(3))
+
+    threshold = params['dist_eps'] * params['dist_scale']
+    border_out = G.outside_bbox(xy, xpb, ypb, jnp.sqrt(threshold))
+
+    w = G.barycentric(inv, xpb, ypb)
+
+    if cfg.dist_func == C.HEAVISIDE:
+        frag = jnp.where(G.inside_loose(w), 1.0, 0.0)
+        sign = jnp.where(G.inside_strict(w), 1.0, -1.0)
+        zero = jnp.zeros_like(frag)
+        dis = dis_x = dis_y = zero
+        tw = (zero, zero, zero)
+        dist_cull = jnp.zeros_like(frag, bool)
+    else:
+        sign, dis_x, dis_y, tw = G.signed_distance(w, xy, sym, obt, xpb, ypb)
+        dis2 = dis_x * dis_x + dis_y * dis_y
+        dist_cull = (sign < 0) & (dis2 >= threshold)  # cu:769
+        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
+        frag = D.cdf(cfg.dist_func, sign, dis, params['dist_scale'],
+                     params['dist_shape'], params['dist_shift'])
+
+    valid = (~border_out) & (~dist_cull) & fvalid[None, None, :]
+    valid &= frag > C.PROBABILITY_THRESHOLD  # cu:784
+    frag = jnp.where(valid, frag, 0.0)
+
+    w_clip = G.barycentric_clip(w)
+    zp = G.perspective_depth(w_clip, z)
+    zvalid = (zp >= params['near']) & (zp <= params['far'])  # cu:810
+    front = G.face_frontside(xy)
+    front_ok = front | cfg.double_side
+
+    return dict(w=w, w_clip=w_clip, frag=frag, valid=valid, sign=sign,
+                dis=dis, dis_x=dis_x, dis_y=dis_y, tw=tw, zp=zp,
+                zvalid=zvalid, front_ok=front_ok, z=z)
+
+
+def _sample_colors(tex, q, cfg: C.RenderConfig):
+    """Per-pair colors [B, P, CF, 3] (forward_sample_texture, cu:175-191)."""
+    B, CF, TS, _ = tex.shape
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        w0, w1, w2 = q['w_clip']
+        t = tex[:, None, :, :, :]  # [B,1,CF,3,3]
+        return (w0[..., None] * t[..., 0, :] + w1[..., None] * t[..., 1, :]
+                + w2[..., None] * t[..., 2, :])
+    R = int(round(TS ** 0.5))
+    ti = G.surface_texel_index(q['w_clip'], R)  # [B,P,CF]
+    if TS == 1:
+        return jnp.broadcast_to(tex[:, None, :, 0, :],
+                                ti.shape + (3,))
+    # flatten (CF, TS) and gather once per batch element
+    tex_flat = tex.reshape(B, CF * TS, 3)
+    cf_idx = jnp.arange(CF, dtype=jnp.int32)[None, None, :]
+    flat_idx = cf_idx * TS + ti
+    return jax.vmap(lambda tf, fi: tf[fi])(tex_flat, flat_idx)
+
+
+def _sample_winner_color(tex, win_cf, w_clip_win, cfg: C.RenderConfig):
+    """Color of the hard-RGB winning face per pixel. win_cf: [B, P]."""
+    B, CF, TS, _ = tex.shape
+    tex_win = jnp.take_along_axis(
+        tex, win_cf[:, :, None, None].astype(jnp.int32), axis=1)  # [B,P,TS,3]
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        w0, w1, w2 = w_clip_win
+        return (w0[..., None] * tex_win[..., 0, :]
+                + w1[..., None] * tex_win[..., 1, :]
+                + w2[..., None] * tex_win[..., 2, :])
+    R = int(round(TS ** 0.5))
+    if TS == 1:
+        return tex_win[..., 0, :]
+    ti = G.surface_texel_index(w_clip_win, R)  # [B,P]
+    return jnp.take_along_axis(tex_win, ti[:, :, None, None],
+                               axis=2)[..., 0, :]
+
+
+def _chunked(arr, nc, cf):
+    """[B, F, ...] -> [NC, B, CF, ...] for scan xs."""
+    b = arr.shape[0]
+    rest = arr.shape[2:]
+    return jnp.moveaxis(arr.reshape(b, nc, cf, *rest), 1, 0)
+
+
+def _pad_faces(face_vertices, textures, finfo, cf):
+    B, F = face_vertices.shape[:2]
+    nc = -(-F // cf)
+    Fp = nc * cf
+    if Fp != F:
+        pad = ((0, 0), (0, Fp - F), (0, 0))
+        face_vertices = jnp.pad(face_vertices, pad)
+        finfo = jnp.pad(finfo, pad)
+        textures = jnp.pad(textures, ((0, 0), (0, Fp - F), (0, 0), (0, 0)))
+    fvalid = (jnp.arange(Fp) < F)
+    return face_vertices, textures, finfo, fvalid, nc, Fp
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
+            params: Dict):
+    """Returns (soft_colors [B,4,H,W], aggrs_info [B,2,H,W]).
+
+    Semantics of ``forward_render_cuda_kernel`` (cu:680-862), streamed over
+    face chunks.
+    """
+    B, F = face_vertices.shape[:2]
+    is_ = cfg.image_size
+    P = is_ * is_
+    xp, yp = pixel_grid(is_)
+    cf = min(cfg.face_chunk, max(F, 1))
+
+    face_vertices, textures, finfo, fvalid, nc, Fp = _pad_faces(
+        face_vertices, textures, finfo, cf)
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(params['background_color'],
+                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
+
+    # init carry (cu:728-739)
+    alpha0 = jnp.zeros((B, P), jnp.float32)
+    eps = params['aggr_rgb_eps']
+    gamma = params['aggr_rgb_gamma']
+    smax0 = jnp.full((B, P), eps, jnp.float32) * jnp.ones(())
+    ssum0 = jnp.full((B, P), 1.0, jnp.float32) * jnp.exp(eps / gamma)
+    if cfg.aggr_rgb_func == C.RGB_SOFTMAX:
+        rgb0 = bg * ssum0[..., None]
+    else:
+        rgb0 = bg
+    depth0 = jnp.full((B, P), BIG_DEPTH, jnp.float32)
+    fidx0 = jnp.full((B, P), -1, jnp.int32)
+
+    carry0 = (alpha0, smax0, ssum0, rgb0, depth0, fidx0)
+
+    xs = (_chunked(face_vertices, nc, cf), _chunked(finfo, nc, cf),
+          _chunked(textures, nc, cf), fvalid.reshape(nc, cf),
+          jnp.arange(nc, dtype=jnp.int32) * cf)
+
+    def body(carry, chunk):
+        alpha, smax, ssum, rgb, depth_min, fidx = carry
+        face9, info27, tex, fv, base = chunk
+        q = _pair_quantities(face9, info27, fv, xp, yp, cfg, params)
+        frag, valid = q['frag'], q['valid']
+
+        # -- alpha aggregation (cu:791-801)
+        if cfg.aggr_alpha_func == C.ALPHA_HARD:
+            alpha = jnp.where(jnp.any(frag > 0.5, axis=-1), 1.0, alpha)
+        else:
+            chunk_agg = tconorm_chunk_reduce(
+                cfg.aggr_alpha_func, frag, params['aggr_alpha_t_conorm_p'])
+            alpha = T.fold_step(cfg.aggr_alpha_func, alpha, chunk_agg,
+                                params['aggr_alpha_t_conorm_p'])
+
+        # -- RGB aggregation
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            # z-argmin among pixels inside the face (cu:815-822)
+            hmask = valid & q['zvalid'] & G.inside_loose(q['w']) \
+                & q['front_ok']
+            zp_m = jnp.where(hmask, q['zp'], jnp.inf)
+            win_cf = jnp.argmin(zp_m, axis=-1)  # [B,P], ties -> first
+            zmin_chunk = jnp.min(zp_m, axis=-1)
+            w_clip_win = tuple(
+                jnp.take_along_axis(wc, win_cf[..., None],
+                                    axis=-1)[..., 0]
+                for wc in q['w_clip'])
+            color_win = _sample_winner_color(tex, win_cf, w_clip_win, cfg)
+            better = zmin_chunk < depth_min
+            depth_min = jnp.where(better, zmin_chunk, depth_min)
+            fidx = jnp.where(better, base + win_cf.astype(jnp.int32), fidx)
+            rgb = jnp.where(better[..., None], color_win, rgb)
+        else:
+            # streaming softmax over zp_norm weighted by coverage
+            # (cu:824-839)
+            cmask = valid & q['zvalid'] & q['front_ok']
+            zp_norm = (params['far'] - q['zp']) / (params['far']
+                                                   - params['near'])
+            zn = jnp.where(cmask, zp_norm, NEG_INF)
+            m_new = jnp.maximum(smax, jnp.max(zn, axis=-1))
+            scale_old = jnp.exp((smax - m_new) / gamma)
+            expz = jnp.exp((zn - m_new[..., None]) / gamma)
+            wexp = jnp.where(cmask, frag * expz, 0.0)
+            colors = _sample_colors(tex, q, cfg)
+            ssum = ssum * scale_old + jnp.sum(wexp, axis=-1)
+            rgb = rgb * scale_old[..., None] \
+                + jnp.einsum('bpc,bpck->bpk', wexp, colors)
+            smax = m_new
+
+        return (alpha, smax, ssum, rgb, depth_min, fidx), None
+
+    (alpha, smax, ssum, rgb, depth_min, fidx), _ = jax.lax.scan(
+        body, carry0, xs)
+
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        rgb_final = rgb
+        aggr0, aggr1 = depth_min, fidx.astype(jnp.float32)
+    else:
+        rgb_final = rgb / ssum[..., None]
+        aggr0, aggr1 = ssum, smax
+
+    soft_colors = jnp.concatenate([rgb_final, alpha[..., None]], axis=-1)
+    soft_colors = soft_colors.reshape(B, is_, is_, 4).transpose(0, 3, 1, 2)
+    aggrs_info = jnp.stack([aggr0, aggr1], axis=1).reshape(B, 2, is_, is_)
+    return soft_colors, aggrs_info
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
+             grad_soft_colors, cfg: C.RenderConfig, params: Dict):
+    """Returns (grad_face_vertices [B,F,9], grad_textures [B,F,TS,3]).
+
+    Semantics of ``backward_render_cuda_kernel`` (cu:866-1065): recompute the
+    per-pair coverage, apply the aggregate-inverse t-conorm rule, the softmax
+    RGB chain, and the closest-point distance chain; accumulate per chunk
+    with dense pixel reductions instead of atomicAdd.
+    """
+    B, F = face_vertices.shape[:2]
+    TS = textures.shape[2]
+    is_ = cfg.image_size
+    P = is_ * is_
+    xp, yp = pixel_grid(is_)
+    cf = min(cfg.face_chunk, max(F, 1))
+    gamma = params['aggr_rgb_gamma']
+
+    face_vertices_p, textures_p, finfo_p, fvalid, nc, Fp = _pad_faces(
+        face_vertices, textures, finfo, cf)
+
+    # flatten pixel-space tensors to [B, P, .]
+    g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
+    final = soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
+    aggr = aggrs_info.reshape(B, 2, P)
+    aggr0, aggr1 = aggr[:, 0], aggr[:, 1]  # (ssum, smax) or (depth, idx)
+
+    xs = (_chunked(face_vertices_p, nc, cf), _chunked(finfo_p, nc, cf),
+          _chunked(textures_p, nc, cf), fvalid.reshape(nc, cf),
+          jnp.arange(nc, dtype=jnp.int32) * cf)
+
+    def body(_, chunk):
+        face9, info27, tex, fv, base = chunk
+        q = _pair_quantities(face9, info27, fv, xp, yp, cfg, params)
+        frag, valid = q['frag'], q['valid']
+        w_clip = q['w_clip']
+        zp = q['zp']
+        zmask = valid & q['zvalid']
+
+        gA = g[..., 3]  # [B, P]
+        # alpha path (cu:973-987)
+        if cfg.aggr_alpha_func == C.ALPHA_HARD:
+            # reference quirk: the incoming alpha grad still flows into the
+            # coverage chain un-multiplied (cu:975-976 only skips the
+            # t-conorm factor)
+            c_grad_xy = jnp.broadcast_to(gA[..., None], frag.shape)
+        else:
+            c_grad_xy = gA[..., None] * T.aggregate_backward(
+                cfg.aggr_alpha_func, final[..., 3:4], frag,
+                params['aggr_alpha_t_conorm_p'])
+        c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
+
+        gz = None
+        gtex_coef = None  # [B,P,CF,3] per-channel texture-grad coefficient
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            # texture grad only to the winning face (cu:997-1004)
+            cf_ids = base + jnp.arange(cf, dtype=jnp.int32)[None, None, :]
+            win = zmask & (aggr1[..., None].astype(jnp.int32) == cf_ids)
+            gtex_coef = jnp.where(win[..., None], g[:, :, None, :3], 0.0)
+        else:
+            cmask = zmask & q['front_ok']
+            zp_norm = (params['far'] - zp) / (params['far'] - params['near'])
+            # aggr0 = softmax_sum, aggr1 = softmax_max (cu:916-917, 1010)
+            zp_softmax = jnp.where(
+                cmask,
+                frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
+                                - aggr1[..., None]) / gamma)
+                / aggr0[..., None], 0.0)
+            colors = _sample_colors(tex, q, cfg)
+            diff = colors - final[:, :, None, :3]  # color_k - final_k
+            c_xyz = jnp.einsum('bpk,bpck->bpc', g[..., :3], diff) \
+                * zp_softmax  # cu:1012-1023
+            gtex_coef = zp_softmax[..., None] * g[:, :, None, :3]
+            c_grad_xy = c_grad_xy + jnp.where(
+                cmask, c_xyz / jnp.where(cmask, frag, 1.0), 0.0)  # cu:1024
+            c_z = c_xyz / gamma / (params['near'] - params['far']) \
+                * zp * zp  # cu:1026
+            z = q['z']
+            gz = tuple(jnp.where(cmask, c_z * w_clip[k] / (z[k] * z[k]), 0.0)
+                       for k in range(3))  # cu:1027-1029
+
+        # distance chain (cu:1034-1052)
+        pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'],
+                      params['dist_scale'], params['dist_shape'],
+                      params['dist_shift'])
+        c_grad_xy = c_grad_xy * pdf_v
+        c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
+
+        tw = q['tw']
+        dis_x, dis_y = q['dis_x'], q['dis_y']
+        if cfg.dist_squared:
+            base_coef = 2.0 * q['sign'] * c_grad_xy
+        else:
+            denom = jnp.maximum(jnp.sqrt(dis_x * dis_x + dis_y * dis_y),
+                                1e-6)
+            base_coef = q['sign'] * c_grad_xy / denom
+
+        # per-chunk gradient tensors, reduced over pixels (deterministic)
+        gface = []
+        for k in range(3):
+            gx = jnp.sum(base_coef * tw[k] * dis_x, axis=1)  # [B, CF]
+            gy = jnp.sum(base_coef * tw[k] * dis_y, axis=1)
+            if gz is not None:
+                gzk = jnp.sum(gz[k], axis=1)
+            else:
+                gzk = jnp.zeros_like(gx)
+            gface.extend([gx, gy, gzk])
+        gface = jnp.stack(gface, axis=-1)  # [B, CF, 9]
+
+        # texture gradients (backward_sample_texture, cu:194-214)
+        if cfg.texture_type == C.TEXTURE_VERTEX:
+            gtex = jnp.stack([
+                jnp.einsum('bpc,bpck->bck', w_clip[j], gtex_coef)
+                for j in range(3)], axis=2)  # [B, CF, 3, 3]
+        else:
+            R = int(round(TS ** 0.5))
+            if TS == 1:
+                gtex = jnp.sum(gtex_coef, axis=1)[:, :, None, :]
+            else:
+                ti = G.surface_texel_index(w_clip, R)  # [B,P,CF]
+                slices = []
+                for t in range(TS):
+                    m = (ti == t).astype(gtex_coef.dtype)
+                    slices.append(jnp.einsum('bpc,bpck->bck', m, gtex_coef))
+                gtex = jnp.stack(slices, axis=2)  # [B, CF, TS, 3]
+
+        return None, (gface, gtex)
+
+    _, (gfaces, gtexs) = jax.lax.scan(body, None, xs)
+    grad_faces = jnp.moveaxis(gfaces, 0, 1).reshape(B, Fp, 9)[:, :F]
+    grad_tex = jnp.moveaxis(gtexs, 0, 1).reshape(B, Fp, TS, 3)[:, :F]
+    return grad_faces, grad_tex
