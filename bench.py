@@ -1,0 +1,104 @@
+"""Benchmark: forward+backward render throughput on the headline config.
+
+Primary metric (BASELINE.md): Mpixel*triangle pair-tests/sec, fwd+bwd, at
+256^2 with a 1280-face mesh (642-vertex icosphere) on one TPU core.  The
+north-star target is < 2 ms/frame fwd+bwd, i.e. 65536*1280/2ms ~= 41943
+Mpair/s; ``vs_baseline`` is value / that target (>1 beats it).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+
+Usage: python bench.py [--backend xla|pallas] [--image-size 256]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--backend', default=None,
+                    help='xla | pallas (default: pallas on TPU, else xla)')
+    ap.add_argument('--image-size', type=int, default=256)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--face-chunk', type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from gendr_tpu import data
+    from gendr_tpu.geometry import core
+    from gendr_tpu.raster.render import render
+
+    platform = jax.devices()[0].platform
+    backend = args.backend
+    if backend is None:
+        backend = 'pallas' if platform in ('tpu', 'axon') else 'xla'
+        try:
+            from gendr_tpu.raster import pallas_backend  # noqa: F401
+        except Exception:
+            backend = 'xla'
+    print(f'platform={platform} backend={backend}', file=sys.stderr)
+
+    from gendr_tpu.geometry import transforms as T
+    v, f = data.icosphere(3)  # 642 verts / 1280 faces
+    B, is_ = 1, args.image_size
+    verts = jnp.asarray(v)[None] * 0.9
+    eye = T.get_points_from_angles(2.732, 30.0, 45.0)
+    verts = T.perspective(T.look_at(verts, eye), 30.0)
+    fv = core.face_vertices(verts, jnp.asarray(f)[None]).reshape(B, -1, 9)
+    F = fv.shape[1]
+    tex = jnp.ones((B, F, 1, 3), jnp.float32)
+
+    kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
+              aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+              backend=backend, face_chunk=args.face_chunk)
+
+    def loss(fv_, tex_):
+        img = render(fv_, tex_, **kw)
+        return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3])
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    def sync(x):
+        # on the tunneled TPU backend block_until_ready returns before the
+        # device work completes; a host fetch is the reliable barrier
+        return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    g = step(fv, tex)
+    sync(g)
+    print(f'compile+first-run: {time.perf_counter()-t0:.2f}s',
+          file=sys.stderr)
+
+    # device-side kernels serialize, so N dispatches + one final host fetch
+    # bounds the per-step time tightly
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            g = step(fv, tex)
+        sync(g)
+        times.append((time.perf_counter() - t0) / args.iters)
+    dt = float(np.min(times))
+    pairs = B * is_ * is_ * F
+    mpairs_per_s = pairs / dt / 1e6
+    target = B * is_ * is_ * F / 2e-3 / 1e6  # <2 ms/frame north star
+    print(f'median fwd+bwd frame time: {dt*1e3:.3f} ms '
+          f'({mpairs_per_s:.0f} Mpair/s)', file=sys.stderr)
+
+    print(json.dumps({
+        'metric': f'Mpixel-triangle tests/sec fwd+bwd {is_}^2 {F}f '
+                  f'({backend})',
+        'value': round(mpairs_per_s, 1),
+        'unit': 'Mpair/s',
+        'vs_baseline': round(mpairs_per_s / target, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -106,14 +106,15 @@ def voxelize_surface(faces, vs):
 
 
 def _dilate6(visible):
-    """One 6-neighborhood dilation step on [B, vs, vs, vs]."""
+    """One 6-neighborhood dilation step on int32 [B, vs, vs, vs]."""
     v = visible
     out = v
+    zero = jnp.zeros((), v.dtype)
     for axis in (1, 2, 3):
         out = out | jnp.roll(v, 1, axis).at[
-            (slice(None),) + (slice(None),) * (axis - 1) + (0,)].set(0)
+            (slice(None),) + (slice(None),) * (axis - 1) + (0,)].set(zero)
         out = out | jnp.roll(v, -1, axis).at[
-            (slice(None),) + (slice(None),) * (axis - 1) + (-1,)].set(0)
+            (slice(None),) + (slice(None),) * (axis - 1) + (-1,)].set(zero)
     return out
 
 
@@ -128,7 +129,8 @@ def fill_interior(voxels):
     boundary = ((idx == 0) | (idx == vs - 1))
     bmask = (boundary[:, None, None] | boundary[None, :, None]
              | boundary[None, None, :])
-    visible = empty & bmask[None]
+    empty_i = empty.astype(jnp.int32)
+    visible = (empty & bmask[None]).astype(jnp.int32)
 
     def cond(state):
         visible, prev_count = state
@@ -140,14 +142,14 @@ def fill_interior(voxels):
         # interior empty cells adjacent to a visible cell become visible;
         # sub4 only updates interior cells, but dilating into boundary cells
         # is harmless because boundary empties are already seeded
-        visible = visible | (_dilate6(visible) & empty)
+        visible = visible | (_dilate6(visible) & empty_i)
         return visible, count
 
     visible, _ = jax.lax.while_loop(
         cond, body, (visible, jnp.asarray(-1, jnp.int64 if
                                           jax.config.jax_enable_x64 else
                                           jnp.int32)))
-    return (1 - visible.astype(jnp.int32))
+    return 1 - visible
 
 
 def voxelization(faces, size, normalize=False):

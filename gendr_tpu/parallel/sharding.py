@@ -1,0 +1,206 @@
+"""Multi-chip scaling via jax.sharding: data-parallel batch + face-parallel
+rendering.
+
+The reference has **no** distributed support of any kind (SURVEY.md §2.4 —
+single process, single GPU, NCCL/MPI absent).  This module is the TPU-native
+scaling layer in its place:
+
+* **Batch DP** — silhouette losses are per-image, so batch sharding needs no
+  cross-device communication except the gradient all-reduce pjit inserts
+  automatically.  Rides ICI.
+* **Face-axis parallelism (fp)** — for very large meshes, faces are sharded
+  across devices; each device folds its face shard into a partial
+  aggregation carry (associative t-conorm / streaming logsumexp / indexed
+  z-argmin) and carries are merged with an ``all_gather`` in transformed
+  space under ``shard_map``.  This is exactly the ring-attention trick
+  applied to rasterization.
+
+Typical use:
+
+    mesh = make_mesh({'dp': 4, 'fp': 2})
+    out = render_sharded(face_vertices, textures, cfg, params, mesh)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gendr_tpu import config as C
+from gendr_tpu.raster import prep, xla_backend as X
+
+
+def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
+    """Build a Mesh from an axis-name -> size dict, e.g. {'dp': 4, 'fp': 2}."""
+    if devices is None:
+        devices = jax.devices()
+    sizes = list(axes.values())
+    n = int(np.prod(sizes))
+    assert n <= len(devices), (n, len(devices))
+    dev = np.array(devices[:n]).reshape(sizes)
+    return Mesh(dev, tuple(axes.keys()))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = 'dp'):
+    """Place a pytree with its leading (batch) axis sharded over ``axis``."""
+    spec = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec), tree)
+
+
+def _pad_to(x, n, axis):
+    need = n - x.shape[axis]
+    if need == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, need)
+    return jnp.pad(x, pads)
+
+
+def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
+                   params: Dict, mesh: Mesh, dp_axis: Optional[str] = 'dp',
+                   fp_axis: Optional[str] = 'fp'):
+    """Forward render with batch sharded over ``dp_axis`` and faces sharded
+    over ``fp_axis``.  Returns soft_colors [B, 4, H, W] (replicated over fp).
+
+    face_vertices: [B, F, 9]; textures: [B, F, TS, 3].
+    """
+    from jax import shard_map
+
+    B, F = face_vertices.shape[:2]
+    is_ = cfg.image_size
+    P_pix = is_ * is_
+    n_fp = mesh.shape[fp_axis] if fp_axis else 1
+    cf = cfg.face_chunk
+    Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
+
+    face_vertices = _pad_to(jnp.asarray(face_vertices, jnp.float32), Fp, 1)
+    textures = _pad_to(jnp.asarray(textures, jnp.float32), Fp, 1)
+    fvalid = jnp.arange(Fp) < F
+
+    in_specs = (P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
+                P(dp_axis))
+    out_specs = P(dp_axis)
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(params['background_color'], jnp.float32).reshape(1, 1, 3),
+        (B, P_pix, 3))
+
+    def local_render(fv_local, tex_local, fvalid_local, bg_local):
+        b_local = fv_local.shape[0]
+        finfo_local = prep.faces_info(fv_local)
+        carry0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
+            X.empty_carry(b_local, P_pix, cfg))
+        carry = X.forward_carry(
+            fv_local, tex_local, finfo_local, fvalid_local,
+            carry0, cfg, params,
+            base_offset=jax.lax.axis_index(fp_axis) * (Fp // n_fp))
+        # merge partial carries across the face axis, in shard order, with
+        # the background state folded in first (reference init order)
+        gathered = jax.lax.all_gather(carry, fp_axis)  # leading axis n_fp
+        merged = X.background_carry(b_local, P_pix, bg_local, cfg, params)
+        for i in range(n_fp):
+            part = jax.tree_util.tree_map(lambda x: x[i], gathered)
+            merged = X.merge_carries(merged, part, cfg, params)
+        soft_colors, _ = X.finalize(merged, cfg)
+        return soft_colors
+
+    fn = shard_map(local_render, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    return fn(face_vertices, textures, fvalid, bg)
+
+
+def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
+                        fp_axis='fp'):
+    """Differentiable face+batch-sharded render with the reference gradient
+    semantics (aggregate-inverse t-conorm backward etc.).
+
+    The backward runs under the same shard_map: every fp shard computes the
+    gradients of its own faces from the replicated final aggregates — no
+    cross-device reduction for grad_faces at all (they are face-sharded),
+    and the dp gradient all-reduce for model parameters is inserted by XLA
+    outside this function.
+    """
+    from jax import shard_map
+    import functools
+
+    n_fp = mesh.shape[fp_axis] if fp_axis else 1
+    cf = cfg.face_chunk
+
+    def _prepare(face_vertices, textures):
+        B, F = face_vertices.shape[:2]
+        Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
+        fv = _pad_to(jnp.asarray(face_vertices, jnp.float32), Fp, 1)
+        tex = _pad_to(jnp.asarray(textures, jnp.float32), Fp, 1)
+        fvalid = jnp.arange(Fp) < F
+        return fv, tex, fvalid, B, F, Fp
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def render_fn(face_vertices, textures, params):
+        out, _ = _fwd_impl(face_vertices, textures, params)
+        return out
+
+    def _fwd_impl(face_vertices, textures, params):
+        fv, tex, fvalid, B, F, Fp = _prepare(face_vertices, textures)
+        P_pix = cfg.image_size ** 2
+        bg = jnp.broadcast_to(
+            jnp.asarray(params['background_color'],
+                        jnp.float32).reshape(1, 1, 3), (B, P_pix, 3))
+
+        def local_fwd(fv_l, tex_l, fvalid_l, bg_l):
+            b_l = fv_l.shape[0]
+            finfo_l = prep.faces_info(fv_l)
+            carry0 = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
+                X.empty_carry(b_l, P_pix, cfg))
+            carry = X.forward_carry(
+                fv_l, tex_l, finfo_l, fvalid_l,
+                carry0, cfg, params,
+                base_offset=jax.lax.axis_index(fp_axis) * (Fp // n_fp))
+            gathered = jax.lax.all_gather(carry, fp_axis)
+            merged = X.background_carry(b_l, P_pix, bg_l, cfg, params)
+            for i in range(n_fp):
+                part = jax.tree_util.tree_map(lambda x: x[i], gathered)
+                merged = X.merge_carries(merged, part, cfg, params)
+            return X.finalize(merged, cfg)
+
+        soft_colors, aggrs = shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
+                      P(dp_axis)),
+            # the merged carry is identical on every fp shard (all_gather +
+            # deterministic fold), which the vma checker cannot infer
+            out_specs=(P(dp_axis), P(dp_axis)), check_vma=False)(
+                fv, tex, fvalid, bg)
+        return soft_colors, (fv, tex, soft_colors, aggrs, params)
+
+    def _fwd(face_vertices, textures, params):
+        out, res = _fwd_impl(face_vertices, textures, params)
+        return out, (res, face_vertices.shape[1], textures.shape[1])
+
+    def _bwd(resF, g):
+        (fv, tex, soft_colors, aggrs, params), F, Ft = resF
+
+        def local_bwd(fv_l, tex_l, soft_l, aggr_l, g_l):
+            finfo_l = prep.faces_info(fv_l)
+            fp_local = fv_l.shape[1]
+            return X.backward(
+                fv_l, tex_l, finfo_l, soft_l, aggr_l, g_l, cfg, params,
+                base_offset=jax.lax.axis_index(fp_axis) * fp_local)
+
+        gf, gt = shard_map(
+            local_bwd, mesh=mesh,
+            in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis),
+                      P(dp_axis), P(dp_axis), P(dp_axis)),
+            out_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis)),
+            check_vma=False)(fv, tex, soft_colors, aggrs, g)
+        zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return gf[:, :F], gt[:, :Ft], zero_params
+
+    render_fn.defvjp(_fwd, _bwd)
+    return render_fn

@@ -115,20 +115,25 @@ def signed_distance(w, xy, sym, obt, xp, yp):
         # unclamped target (inside case, cu:99-105)
         tu = [None, None, None]
         tu[v0], tu[v1], tu[v2] = tv0, 1.0 - tv0, jnp.zeros_like(tv0)
-        du = tuple(tu[i] - wk[i] for i in range(3))
-        dis_x_u = du[0] * x0 + du[1] * x1 + du[2] * x2
-        dis_y_u = du[0] * y0 + du[1] * y1 + du[2] * y2
+        # The reference computes dis = sum_i (t_i - w_i) * p_i (cu:108-109,
+        # 161-162).  Since sum_i w_i p_i == (xp, yp) whenever w is a true
+        # barycentric, we use the equivalent dis = (closest point) - pixel,
+        # which stays well-conditioned when w blows up on (near-)degenerate
+        # projected faces (determinant clamp, cu:653) — there the reference
+        # form suffers catastrophic cancellation and can emit dis = 0 for
+        # pixels far from the face.
+        dis_x_u = tu[0] * x0 + tu[1] * x1 + tu[2] * x2 - xp
+        dis_y_u = tu[0] * y0 + tu[1] * y1 + tu[2] * y2 - yp
         dis2_u = dis_x_u * dis_x_u + dis_y_u * dis_y_u
         # clamped target (outside case, cu:150-158)
         tc = [None, None, None]
         tc[v0] = jnp.clip(tv0, 0.0, 1.0)
         tc[v1] = jnp.clip(1.0 - tv0, 0.0, 1.0)
         tc[v2] = jnp.zeros_like(tv0)
-        dc = tuple(tc[i] - wk[i] for i in range(3))
-        dis_x_c = dc[0] * x0 + dc[1] * x1 + dc[2] * x2
-        dis_y_c = dc[0] * y0 + dc[1] * y1 + dc[2] * y2
-        cand.append(dict(tu=tu, du=du, dxu=dis_x_u, dyu=dis_y_u, d2u=dis2_u,
-                         tc=tc, dc=dc, dxc=dis_x_c, dyc=dis_y_c))
+        dis_x_c = tc[0] * x0 + tc[1] * x1 + tc[2] * x2 - xp
+        dis_y_c = tc[0] * y0 + tc[1] * y1 + tc[2] * y2 - yp
+        cand.append(dict(tu=tu, dxu=dis_x_u, dyu=dis_y_u, d2u=dis2_u,
+                         tc=tc, dxc=dis_x_c, dyc=dis_y_c))
 
     # ---- inside: argmin over the 3 unclamped edge distances, first-min wins
     d0, d1, d2 = cand[0]['d2u'], cand[1]['d2u'], cand[2]['d2u']

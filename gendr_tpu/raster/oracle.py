@@ -121,8 +121,12 @@ def render_forward(face_vertices, textures, cfg: C.RenderConfig, params):
         M = np.maximum(eps, zn.max(axis=-1))
         wexp = np.where(cmask, frag * np.exp((zn - M[..., None]) / gamma),
                         0.0)
-        ssum = np.exp((eps - M) / gamma) + wexp.sum(-1)
-        rgb = (bg * np.exp((eps - M) / gamma)[..., None]
+        # the reference initializes softmax_sum = exp(eps/gamma) at
+        # softmax_max = eps (cu:729), i.e. the background carries an extra
+        # exp(eps/gamma) factor relative to a face with z-score eps
+        bg_w = np.exp(eps / gamma) * np.exp((eps - M) / gamma)
+        ssum = bg_w + wexp.sum(-1)
+        rgb = (bg * bg_w[..., None]
                + np.einsum('bpf,bpfk->bpk', wexp, colors)) / ssum[..., None]
         aggr0, aggr1 = ssum, M
 

@@ -1,0 +1,273 @@
+"""Per-face constant packing for the Pallas rasterization kernels.
+
+The reference recomputes barycentric/edge algebra per (pixel, face) thread
+(generalized_renderer_cuda_kernel.cu:75-165).  On TPU every per-pair
+quantity that is *affine in the pixel coordinate* is instead folded into
+per-face constants once, so the inner kernel does 2 FMAs per affine value:
+
+  w_i(x, y)    = inv[3i]x + inv[3i+1]y + inv[3i+2]          (cu:38-43)
+  tv_k(x, y)   = (w . a0 - a0[v1]) / den                     (cu:150)
+               = tA_k x + tB_k y + tC_k        (a0, den from the Gram matrix)
+  dot_c(x, y)  = e_c . (x, y) + o_c                          (cu:129-135)
+
+Row layout of the packed tensor (shape [B, NI, F']; SoA so a face chunk is a
+(NI, FC) VMEM block whose rows broadcast against the pixel axis):
+
+   0: xmin   1: xmax   2: ymin   3: ymax          (bbox, pre-margin)
+   4-12:  inv (row-major 3x3)
+  13-21:  tA0 tB0 tC0 tA1 tB1 tC1 tA2 tB2 tC2
+  22-27:  pv1x_k pv1y_k for k=0,1,2   (edge-k base point = vertex k+1)
+  28-33:  ex_k ey_k for k=0,1,2       (edge-k vector = vertex k - vertex k+1)
+  34-36:  oA oB oC                    (obtuse-region dot offsets)
+  37-39:  obt flags
+  40:     frontside flag
+  41-43:  iz0 iz1 iz2                 (reciprocal vertex depths)
+  44:     fvalid
+  45-47:  tex RGB (surface TS=1)  |  45-53: vertex colors (3x3)
+  54-55:  pad
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gendr_tpu import config as C
+
+NI = 56
+
+# row indices (see module docstring)
+R_BBOX = 0
+R_INV = 4
+R_TV = 13
+R_PV1 = 22
+R_E = 28
+R_DOT_OFF = 34
+R_OBT = 37
+R_FRONT = 40
+R_IZ = 41
+R_FVALID = 44
+R_TEX = 45
+
+
+def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
+    """face_vertices: [B, F', 9]; textures: [B, F', TS, 3]; fvalid: [F'].
+
+    Returns [B, NI, F'] float32.
+    """
+    f = face_vertices
+    B, Fp = f.shape[:2]
+    x0, y0, z0 = f[..., 0], f[..., 1], f[..., 2]
+    x1, y1, z1 = f[..., 3], f[..., 4], f[..., 5]
+    x2, y2, z2 = f[..., 6], f[..., 7], f[..., 8]
+
+    rows = [None] * NI
+
+    rows[R_BBOX + 0] = jnp.minimum(jnp.minimum(x0, x1), x2)
+    rows[R_BBOX + 1] = jnp.maximum(jnp.maximum(x0, x1), x2)
+    rows[R_BBOX + 2] = jnp.minimum(jnp.minimum(y0, y1), y2)
+    rows[R_BBOX + 3] = jnp.maximum(jnp.maximum(y0, y1), y2)
+
+    # barycentric inverse (same det clamp as prep.faces_info / cu:645-657)
+    inv_star = [
+        y1 - y2, x2 - x1, x1 * y2 - x2 * y1,
+        y2 - y0, x0 - x2, x2 * y0 - x0 * y2,
+        y0 - y1, x1 - x0, x0 * y1 - x1 * y0,
+    ]
+    det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    det = jnp.where(det > 0, jnp.maximum(det, C.DET_EPS),
+                    jnp.minimum(det, -C.DET_EPS))
+    inv = [s / det for s in inv_star]
+    for i in range(9):
+        rows[R_INV + i] = inv[i]
+
+    # Gram matrix rows (cu:659-665) -> per-edge affine tv coefficients
+    xs = (x0, x1, x2)
+    ys = (y0, y1, y2)
+    zs = (z0, z1, z2)
+    sym = [[xs[j] * xs[k] + ys[j] * ys[k] + 1.0 for k in range(3)]
+           for j in range(3)]
+    for k in range(3):
+        v0, v1 = k, (k + 1) % 3
+        a0 = [sym[v0][i] - sym[v1][i] for i in range(3)]
+        den = a0[v0] - a0[v1]
+        den = jnp.where(jnp.abs(den) < 1e-20,
+                        jnp.where(den < 0, -1e-20, 1e-20), den)
+        # w_i = inv[3i] x + inv[3i+1] y + inv[3i+2]
+        tA = (inv[0] * a0[0] + inv[3] * a0[1] + inv[6] * a0[2]) / den
+        tB = (inv[1] * a0[0] + inv[4] * a0[1] + inv[7] * a0[2]) / den
+        tC = (inv[2] * a0[0] + inv[5] * a0[1] + inv[8] * a0[2]
+              - a0[v1]) / den
+        rows[R_TV + 3 * k + 0] = tA
+        rows[R_TV + 3 * k + 1] = tB
+        rows[R_TV + 3 * k + 2] = tC
+        rows[R_PV1 + 2 * k + 0] = xs[v1]
+        rows[R_PV1 + 2 * k + 1] = ys[v1]
+        rows[R_E + 2 * k + 0] = xs[v0] - xs[v1]
+        rows[R_E + 2 * k + 1] = ys[v0] - ys[v1]
+
+    # obtuse-region dots: dotA = (p-P0).(P2-P0), dotB = (p-P1).(P0-P1),
+    # dotC = (p-P2).(P1-P2); the direction vectors are e2, e0, e1
+    rows[R_DOT_OFF + 0] = -(x0 * (x2 - x0) + y0 * (y2 - y0))
+    rows[R_DOT_OFF + 1] = -(x1 * (x0 - x1) + y1 * (y0 - y1))
+    rows[R_DOT_OFF + 2] = -(x2 * (x1 - x2) + y2 * (y1 - y2))
+
+    # obtuse flags (cu:667-675)
+    def obt(ax, ay, bx, by, cx, cy):
+        return (((bx - ax) * (cx - ax) + (by - ay) * (cy - ay)) < 0)
+    rows[R_OBT + 0] = obt(x0, y0, x1, y1, x2, y2).astype(jnp.float32)
+    rows[R_OBT + 1] = obt(x1, y1, x2, y2, x0, y0).astype(jnp.float32)
+    rows[R_OBT + 2] = obt(x2, y2, x0, y0, x1, y1).astype(jnp.float32)
+
+    # frontside (cu:55-58)
+    rows[R_FRONT] = ((y2 - y0) * (x1 - x0)
+                     < (y1 - y0) * (x2 - x0)).astype(jnp.float32)
+
+    for i in range(3):
+        rows[R_IZ + i] = 1.0 / zs[i]
+
+    rows[R_FVALID] = jnp.broadcast_to(
+        fvalid.astype(jnp.float32)[None, :], (B, Fp))
+
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        for j in range(3):
+            for c in range(3):
+                rows[R_TEX + 3 * j + c] = textures[:, :, j, c]
+    else:
+        for c in range(3):
+            rows[R_TEX + c] = textures[:, :, 0, c]
+
+    zero = jnp.zeros((B, Fp), jnp.float32)
+    rows = [zero if r is None else r for r in rows]
+    return jnp.stack(rows, axis=1)
+
+
+def cull_margin(cfg, params):
+    """Semantically exact tile-cull distance.
+
+    A (pixel, face) pair with coverage <= PROBABILITY_THRESHOLD is skipped
+    by the reference for both alpha and RGB (cu:784-786), so any outside
+    pixel farther than r_prob — where CDF(-r_prob/tau) == 1e-6 — can be
+    culled without changing the result.  Combined with the reference's own
+    dist_eps cutoff sqrt(dist_eps * tau) (cu:747), the margin is the min of
+    the two.  Heavy-tailed CDFs (cauchy, reciprocal, levy) have no useful
+    probability radius; heaviside is exactly its bbox.
+    """
+    tau = params['dist_scale']
+    thr_margin = jnp.sqrt(params['dist_eps'] * tau)
+    # u such that CDF(-u) <= 1e-6 (conservative constants)
+    U = {
+        C.HEAVISIDE: 0.0,
+        C.UNIFORM: 1.0,
+        C.CUBIC_HERMITE: 1.0,
+        C.WIGNER_SEMICIRCLE: 1.0,
+        C.GAUSSIAN: 4.80,
+        C.LAPLACE: 13.2,
+        C.LOGISTIC: 13.9,
+        C.GUDERMANNIAN: 14.5,
+        C.GUMBEL_MAX: 2.7,
+        C.GUMBEL_MIN: 13.9,
+    }
+    shift = jnp.abs(params['dist_shift'])
+    if cfg.dist_func in (C.EXPONENTIAL, C.EXPONENTIAL_REV):
+        u = 13.9 + shift
+    elif cfg.dist_func in (C.GAMMA, C.GAMMA_REV):
+        # exact: saturates at GAMMA_THRESHOLD (cu:304-308)
+        u = C.GAMMA_THRESHOLD + shift
+    elif cfg.dist_func in U:
+        u = U[cfg.dist_func]
+    else:  # heavy tails: only the dist_eps cutoff applies
+        return thr_margin
+    r = u * tau
+    if cfg.dist_squared:
+        # with dist_squared the CDF input is dis^2 (cu:770-772)
+        r = jnp.sqrt(u * tau)
+    return jnp.minimum(thr_margin, r)
+
+
+def tile_grid(image_size, tile_w, tile_h):
+    """Static pixel permutation for 2D-tiled rendering.
+
+    Returns (T, TP, perm, inv_perm): flat tiled-order pixel index ->
+    row-major image index, and its inverse.  The kernels render in tiled
+    order (tight bboxes in both axes); the epilogue un-permutes.
+    """
+    import numpy as np
+    is_ = image_size
+    tx_n = is_ // tile_w
+    ty_n = is_ // tile_h
+    T = tx_n * ty_n
+    TP = tile_w * tile_h
+    t = np.arange(T)
+    l = np.arange(TP)
+    ty, tx = t // tx_n, t % tx_n
+    lr, lc = l // tile_w, l % tile_w
+    rows = ty[:, None] * tile_h + lr[None, :]
+    cols = tx[:, None] * tile_w + lc[None, :]
+    perm = (rows * is_ + cols).reshape(-1)  # tiled idx -> image idx
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return T, TP, perm, inv
+
+
+def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin):
+    """[B, T, K] int32 mask: does face-chunk k (bbox union + margin) overlap
+    2D pixel tile t?  The TPU-native replacement for the reference's
+    per-thread early-exit culls (cu:747, 769, 784)."""
+    B = packed.shape[0]
+    Fp = packed.shape[2]
+    K = Fp // face_chunk
+    is_ = image_size
+
+    xmin = packed[:, R_BBOX + 0].reshape(B, K, face_chunk)
+    xmax = packed[:, R_BBOX + 1].reshape(B, K, face_chunk)
+    ymin = packed[:, R_BBOX + 2].reshape(B, K, face_chunk)
+    ymax = packed[:, R_BBOX + 3].reshape(B, K, face_chunk)
+    fval = packed[:, R_FVALID].reshape(B, K, face_chunk) > 0
+    big = jnp.float32(1e30)
+    cxmin = jnp.min(jnp.where(fval, xmin, big), axis=-1)   # [B, K]
+    cxmax = jnp.max(jnp.where(fval, xmax, -big), axis=-1)
+    cymin = jnp.min(jnp.where(fval, ymin, big), axis=-1)
+    cymax = jnp.max(jnp.where(fval, ymax, -big), axis=-1)
+
+    tx_n = is_ // tile_w
+    ty_n = is_ // tile_h
+    T = tx_n * ty_n
+    t_idx = jnp.arange(T)
+    ty, tx = t_idx // tx_n, t_idx % tx_n
+    c0 = tx * tile_w
+    r0 = ty * tile_h
+    tx_min = (2.0 * c0 + 1.0 - is_) / is_
+    tx_max = (2.0 * (c0 + tile_w - 1) + 1.0 - is_) / is_
+    # y decreases with row index (vertical flip, cu:716-719)
+    ty_max = (2.0 * (is_ - 1 - r0) + 1.0 - is_) / is_
+    ty_min = (2.0 * (is_ - 1 - (r0 + tile_h - 1)) + 1.0 - is_) / is_
+
+    ov_x = (tx_min[None, :, None] <= cxmax[:, None, :] + margin) & \
+           (tx_max[None, :, None] >= cxmin[:, None, :] - margin)
+    ov_y = (ty_min[None, :, None] <= cymax[:, None, :] + margin) & \
+           (ty_max[None, :, None] >= cymin[:, None, :] - margin)
+    return (ov_x & ov_y).astype(jnp.int32)  # [B, T, K]
+
+
+def morton_order(packed, fvalid):
+    """Spatial (Morton/Z-curve) face ordering: [B, F'] permutation.
+
+    Sorting faces by interleaved bbox-center bits makes face chunks
+    spatially tight, which is what gives the tile x chunk mask its
+    selectivity.  Padding faces sort to the end.
+    """
+    cx = 0.5 * (packed[:, R_BBOX + 0] + packed[:, R_BBOX + 1])
+    cy = 0.5 * (packed[:, R_BBOX + 2] + packed[:, R_BBOX + 3])
+    qx = jnp.clip(((cx + 1.0) * 0.5 * 1024.0), 0, 1023).astype(jnp.int32)
+    qy = jnp.clip(((cy + 1.0) * 0.5 * 1024.0), 0, 1023).astype(jnp.int32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = spread(qx) | (spread(qy) << 1)
+    key = jnp.where(fvalid[None, :], key, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key, axis=1)

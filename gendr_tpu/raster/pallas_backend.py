@@ -1,0 +1,692 @@
+"""Pallas TPU rasterization kernels (production hot path).
+
+Re-design of the reference's CUDA render kernels (forward cu:680-862,
+backward cu:866-1065) for the TPU execution model:
+
+* grid = (batch, pixel-tile, face-chunk); the face-chunk axis is innermost
+  and sequential, so the per-pixel aggregation state lives in VMEM scratch
+  across chunk steps (the standard TPU accumulation pattern) — the CUDA
+  per-thread serial face loop becomes a vectorized (TP x FC) tile.
+* per-face algebra is pre-folded into affine pixel coefficients
+  (``pack.pack_faces``) so the inner loop is almost pure FMA.
+* the reference's per-thread early-exits (bbox cull cu:747, distance cull
+  cu:769) become a tile x chunk bbox mask, scalar-prefetched into SMEM;
+  misses skip the whole (tile, chunk) program body via ``pl.when``.
+* the alpha t-conorm fold across the chunk's lane axis is a butterfly
+  (``pltpu.roll``) reduction — valid because t-conorms are associative and
+  commutative with identity 0.
+* gradients accumulate in VMEM scratch over pixel tiles and are written once
+  per face chunk: deterministic, no atomics (unlike cu:1054-1063).
+* hard-RGB texture sampling is deferred: the kernel emits the winning face
+  index and its clipped barycentrics; the gather+sample runs as a cheap XLA
+  epilogue.  Softmax RGB samples in-kernel for TS=1 surface and vertex
+  textures; surface textures with TS>1 fall back to the XLA backend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gendr_tpu import config as C
+from gendr_tpu.ops import distributions as D
+from gendr_tpu.ops import tconorms as T
+from gendr_tpu.raster import pack
+from gendr_tpu.raster import xla_backend as X
+
+NEG_INF = -1e30
+BIG_DEPTH = X.BIG_DEPTH
+
+# parameter-vector slots (SMEM scalar prefetch)
+P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR = \
+    range(9)
+NPAR = 9
+
+
+def _params_vec(params: Dict):
+    return jnp.stack([
+        jnp.asarray(params['dist_scale'], jnp.float32),
+        jnp.asarray(params['dist_shape'], jnp.float32),
+        jnp.asarray(params['dist_shift'], jnp.float32),
+        jnp.asarray(params['dist_eps'] * params['dist_scale'], jnp.float32),
+        jnp.asarray(params['aggr_alpha_t_conorm_p'], jnp.float32),
+        jnp.asarray(params['aggr_rgb_eps'], jnp.float32),
+        jnp.asarray(params['aggr_rgb_gamma'], jnp.float32),
+        jnp.asarray(params['near'], jnp.float32),
+        jnp.asarray(params['far'], jnp.float32),
+    ])
+
+
+def _tconorm_butterfly(tid, frag, p):
+    """All-lane t-conorm reduction on the (TP, FC) minor axis."""
+    fc = frag.shape[-1]
+    h = 1
+    while h < fc:
+        frag = T.fold_step(tid, frag, pltpu.roll(frag, h, axis=1), p)
+        h *= 2
+    return frag[:, :1]
+
+
+def _pair_math(row, xp, yp, par, cfg: C.RenderConfig):
+    """Shared per-(pixel, face) math on a (TP, FC) tile.
+
+    row(i): the i-th packed per-face constant as a (1, FC) array.
+    Returns a dict of (TP, FC) arrays (see xla_backend._pair_quantities for
+    the reference semantics each field mirrors).
+    """
+    thr = par[P_THR]
+    mrg = jnp.sqrt(thr)
+
+    border_out = ((xp > row(pack.R_BBOX + 1) + mrg)
+                  | (xp < row(pack.R_BBOX + 0) - mrg)
+                  | (yp > row(pack.R_BBOX + 3) + mrg)
+                  | (yp < row(pack.R_BBOX + 2) - mrg))
+
+    w0 = row(pack.R_INV + 0) * xp + row(pack.R_INV + 1) * yp \
+        + row(pack.R_INV + 2)
+    w1 = row(pack.R_INV + 3) * xp + row(pack.R_INV + 4) * yp \
+        + row(pack.R_INV + 5)
+    w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
+        + row(pack.R_INV + 8)
+
+    inside = ((w0 > 0) & (w1 > 0) & (w2 > 0)
+              & (w0 < 1) & (w1 < 1) & (w2 < 1))
+    in_loose = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
+                & (w2 >= 0) & (w2 <= 1))
+
+    q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose,
+             border_out=border_out)
+
+    if cfg.dist_func == C.HEAVISIDE:
+        frag = jnp.where(in_loose, 1.0, 0.0)
+        zero = jnp.zeros_like(w0)
+        q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
+                 dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
+                 cull=jnp.zeros_like(inside))
+    else:
+        tvs, dxu, dyu, d2u, dxc, dyc, tvcs = [], [], [], [], [], [], []
+        for k in range(3):
+            tv = row(pack.R_TV + 3 * k) * xp \
+                + row(pack.R_TV + 3 * k + 1) * yp \
+                + row(pack.R_TV + 3 * k + 2)
+            bx = row(pack.R_PV1 + 2 * k) - xp
+            by = row(pack.R_PV1 + 2 * k + 1) - yp
+            ex = row(pack.R_E + 2 * k)
+            ey = row(pack.R_E + 2 * k + 1)
+            ux = bx + tv * ex
+            uy = by + tv * ey
+            tvc = jnp.clip(tv, 0.0, 1.0)
+            tvs.append(tv)
+            tvcs.append(tvc)
+            dxu.append(ux)
+            dyu.append(uy)
+            d2u.append(ux * ux + uy * uy)
+            dxc.append(bx + tvc * ex)
+            dyc.append(by + tvc * ey)
+
+        # inside: first-minimum edge (cu:91-120)
+        sel0 = (d2u[0] <= d2u[1]) & (d2u[0] <= d2u[2])
+        sel1 = (~sel0) & (d2u[1] <= d2u[2])
+        kin = jnp.where(sel0, 0, jnp.where(sel1, 1, 2))
+
+        # outside: region decision chain (cu:127-139)
+        dotA = row(pack.R_E + 4) * xp + row(pack.R_E + 5) * yp \
+            + row(pack.R_DOT_OFF + 0)
+        dotB = row(pack.R_E + 0) * xp + row(pack.R_E + 1) * yp \
+            + row(pack.R_DOT_OFF + 1)
+        dotC = row(pack.R_E + 2) * xp + row(pack.R_E + 3) * yp \
+            + row(pack.R_DOT_OFF + 2)
+        c01 = (w1 <= 0) & (w2 <= 0)
+        c12 = (w2 <= 0) & (w0 <= 0)
+        c20 = (w0 <= 0) & (w1 <= 0)
+        vA = jnp.where((row(pack.R_OBT + 0) > 0) & (dotA > 0), 2, 0)
+        vB = jnp.where((row(pack.R_OBT + 1) > 0) & (dotB > 0), 0, 1)
+        vC = jnp.where((row(pack.R_OBT + 2) > 0) & (dotC > 0), 1, 2)
+        vout = jnp.where(
+            c01, vA,
+            jnp.where(c12, vB,
+                      jnp.where(c20, vC,
+                                jnp.where(w0 <= 0, 1,
+                                          jnp.where(w1 <= 0, 2, 0)))))
+
+        def sel3(idx, c):
+            return jnp.where(idx == 0, c[0], jnp.where(idx == 1, c[1], c[2]))
+
+        ksel = jnp.where(inside, kin, vout)
+        dis_x = jnp.where(inside, sel3(kin, dxu), sel3(vout, dxc))
+        dis_y = jnp.where(inside, sel3(kin, dyu), sel3(vout, dyc))
+        tv_sel = jnp.where(inside, sel3(kin, tvs), sel3(vout, tvcs))
+
+        dis2 = dis_x * dis_x + dis_y * dis_y
+        cull = (~inside) & (dis2 >= thr)
+        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
+        sign = jnp.where(inside, 1.0, -1.0)
+        frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
+                     par[P_SHIFT])
+        q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
+                 tv=tv_sel, ksel=ksel, cull=cull)
+
+    valid = (~q['border_out']) & (~q['cull']) & (frag > 1e-6) \
+        & (row(pack.R_FVALID) > 0)
+    frag = jnp.where(valid, frag, 0.0)
+    q['frag'] = frag
+    q['valid'] = valid
+
+    # clipped barycentrics, depth (cu:807-810)
+    wc0 = jnp.clip(w0, 0.0, 1.0)
+    wc1 = jnp.clip(w1, 0.0, 1.0)
+    wc2 = jnp.clip(w2, 0.0, 1.0)
+    s = jnp.maximum(wc0 + wc1 + wc2, 1e-5)
+    denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
+             + wc2 * row(pack.R_IZ + 2))
+    zp = s / denom
+    q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
+    q['zp'] = zp
+    q['zvalid'] = (zp >= par[P_NEAR]) & (zp <= par[P_FAR])
+    if cfg.double_side:
+        q['front_ok'] = jnp.ones_like(valid)
+    else:
+        q['front_ok'] = row(pack.R_FRONT) > 0
+    return q
+
+
+def _colors(row, q, cfg: C.RenderConfig):
+    """Per-pair colors for in-kernel softmax RGB (TS=1 / vertex)."""
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        w = q['wcn']
+        return [w[0] * row(pack.R_TEX + c) + w[1] * row(pack.R_TEX + 3 + c)
+                + w[2] * row(pack.R_TEX + 6 + c) for c in range(3)]
+    return [row(pack.R_TEX + c) for c in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+# fwd output columns: [alpha, c1, c2, w0n, w1n, r, g, b] where for hard RGB
+# (c1, c2) = (depth, fidx) and for softmax (c1, c2) = (ssum, smax)
+NO_F = 8
+
+
+def _fwd_kernel(mask_ref, par_ref, packed_ref, out_ref, acc_ref, *,
+                cfg: C.RenderConfig, TP, FC, is_, T_tiles, K, tile_w,
+                tile_h, tx_n):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            col1, col2 = BIG_DEPTH, -1.0
+        else:
+            col1, col2 = 0.0, NEG_INF
+        acc_ref[:, :] = jnp.zeros((TP, NO_F), jnp.float32)
+        acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
+        acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
+
+    hit = mask_ref[(b * T_tiles + t) * K + k]
+
+    @pl.when(hit != 0)
+    def _compute():
+        par = tuple(par_ref[i] for i in range(NPAR))
+
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+        lr = lidx // tile_w
+        lc = lidx - lr * tile_w
+        ty = t // tx_n
+        tx = t - ty * tx_n
+        prow = ty * tile_h + lr
+        pcol = tx * tile_w + lc
+        xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
+        yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+
+        def row(i):
+            return packed_ref[0, i, :].reshape(1, FC)
+
+        q = _pair_math(row, xp, yp, par, cfg)
+        frag = q['frag']
+
+        # -- alpha (cu:791-801)
+        alpha = acc_ref[:, 0:1]
+        if cfg.aggr_alpha_func == C.ALPHA_HARD:
+            alpha = jnp.maximum(
+                alpha, jnp.max(jnp.where(frag > 0.5, 1.0, 0.0), axis=1,
+                               keepdims=True))
+        else:
+            chunk = _tconorm_butterfly(cfg.aggr_alpha_func, frag,
+                                       par[P_TCP])
+            alpha = T.fold_step(cfg.aggr_alpha_func, alpha, chunk,
+                                par[P_TCP])
+        acc_ref[:, 0:1] = alpha
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
+
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            # z-argmin with first-face tie-break (cu:815-822)
+            hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
+            zm = jnp.where(hmask, q['zp'], jnp.inf)
+            zmin = jnp.min(zm, axis=1, keepdims=True)
+            isel = jnp.min(jnp.where(zm == zmin, lane, FC), axis=1,
+                           keepdims=True)
+            win = lane == isel
+            w0n = jnp.sum(jnp.where(win, q['wcn'][0], 0.0), axis=1,
+                          keepdims=True)
+            w1n = jnp.sum(jnp.where(win, q['wcn'][1], 0.0), axis=1,
+                          keepdims=True)
+            better = (zmin < acc_ref[:, 1:2]) & (isel < FC)
+            acc_ref[:, 1:2] = jnp.where(better, zmin, acc_ref[:, 1:2])
+            acc_ref[:, 2:3] = jnp.where(
+                better, (k * FC + isel).astype(jnp.float32),
+                acc_ref[:, 2:3])
+            acc_ref[:, 3:4] = jnp.where(better, w0n, acc_ref[:, 3:4])
+            acc_ref[:, 4:5] = jnp.where(better, w1n, acc_ref[:, 4:5])
+        else:
+            # streaming softmax (cu:824-839)
+            gamma = par[P_GAMMA]
+            cmask = q['valid'] & q['zvalid'] & q['front_ok']
+            zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
+            zn = jnp.where(cmask, zp_norm, NEG_INF)
+            mc = jnp.max(zn, axis=1, keepdims=True)
+            m_old = acc_ref[:, 2:3]
+            m_new = jnp.maximum(m_old, mc)
+            scale_old = jnp.exp((m_old - m_new) / gamma)
+            wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
+                             0.0)
+            acc_ref[:, 1:2] = acc_ref[:, 1:2] * scale_old \
+                + jnp.sum(wexp, axis=1, keepdims=True)
+            acc_ref[:, 2:3] = m_new
+            cols = _colors(row, q, cfg)
+            for c in range(3):
+                acc_ref[:, 5 + c:6 + c] = \
+                    acc_ref[:, 5 + c:6 + c] * scale_old \
+                    + jnp.sum(wexp * cols[c], axis=1, keepdims=True)
+
+    @pl.when(k == K - 1)
+    def _write():
+        out_ref[0, :, :] = acc_ref[:, :]
+
+
+def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
+            params: Dict):
+    """Same contract as xla_backend.forward."""
+    del finfo  # the Pallas path uses its own packed constants
+    B, F = face_vertices.shape[:2]
+    TS = textures.shape[2]
+    if cfg.aggr_rgb_func == C.RGB_SOFTMAX and \
+            cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
+        # high-res surface textures need per-pair gathers; XLA handles those
+        from gendr_tpu.raster import prep
+        return X.forward(face_vertices, textures,
+                         prep.faces_info(face_vertices), cfg, params)
+
+    is_ = cfg.image_size
+    P = is_ * is_
+    FC = cfg.face_chunk
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    TP = tile_w * tile_h
+    T_tiles = P // TP
+    tx_n = is_ // tile_w
+    _, _, _, pix_inv = pack.tile_grid(is_, tile_w, tile_h)
+
+    fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
+                                                 F, FC, cfg)
+    packed = pack.pack_faces(fv, tex, fvalid, cfg)
+    margin = pack.cull_margin(cfg, params)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC,
+                                margin).reshape(-1)
+    par = _params_vec(params)
+
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
+                               T_tiles=T_tiles, K=K, tile_w=tile_w,
+                               tile_h=tile_h, tx_n=tx_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T_tiles, K),
+        in_specs=[
+            pl.BlockSpec((1, pack.NI, FC), lambda b, t, k, *_: (b, 0, k)),
+        ],
+        out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, k, *_: (b, t, 0)),
+        scratch_shapes=[pltpu.VMEM((TP, NO_F), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, NO_F), jnp.float32),
+        interpret=_interpret(),
+    )(mask, par, packed)
+    out = out[:, pix_inv]  # tiled pixel order -> row-major image order
+
+    # -- XLA epilogue: background merge + deferred hard-RGB sampling
+    alpha = out[..., 0]
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        depth, fidxf = out[..., 1], out[..., 2]
+        fidx_sorted = fidxf.astype(jnp.int32)
+        # map sorted-order winner indices back to original face ids
+        fidx = jnp.where(
+            fidx_sorted >= 0,
+            jax.vmap(lambda p, i: p[jnp.clip(i, 0, Fp - 1)])(
+                perm, fidx_sorted).astype(jnp.int32),
+            -1)
+        w0n, w1n = out[..., 3], out[..., 4]
+        w2n = 1.0 - w0n - w1n
+        rgb = _sample_hard_colors(
+            jnp.asarray(textures, jnp.float32), fidx, (w0n, w1n, w2n), cfg)
+        carry = (alpha, jnp.zeros_like(alpha), jnp.zeros_like(alpha), rgb,
+                 depth, fidx)
+    else:
+        ssum, smax = out[..., 1], out[..., 2]
+        rgb = out[..., 5:8]
+        carry = (alpha, smax, ssum, rgb,
+                 jnp.full_like(alpha, BIG_DEPTH),
+                 jnp.full_like(alpha, -1).astype(jnp.int32))
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(params['background_color'],
+                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
+    carry = X.merge_carries(X.background_carry(B, P, bg, cfg, params),
+                            carry, cfg, params)
+    return X.finalize(carry, cfg)
+
+
+def _sample_hard_colors(tex, fidx, wcn, cfg: C.RenderConfig):
+    """Gather + sample the winning face's texture (cheap XLA epilogue)."""
+    B, Fp, TS, _ = tex.shape
+    idx = jnp.clip(fidx, 0, Fp - 1)
+    tex_win = jax.vmap(lambda tb, ib: tb[ib])(tex, idx)  # [B, P, TS, 3]
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        return (wcn[0][..., None] * tex_win[..., 0, :]
+                + wcn[1][..., None] * tex_win[..., 1, :]
+                + wcn[2][..., None] * tex_win[..., 2, :])
+    from gendr_tpu.raster import geometry as G
+    R = int(round(TS ** 0.5))
+    if TS == 1:
+        return tex_win[..., 0, :]
+    ti = G.surface_texel_index(wcn, R)
+    return jnp.take_along_axis(tex_win, ti[..., None, None],
+                               axis=2)[..., 0, :]
+
+
+def _interpret():
+    return jax.devices()[0].platform not in ('tpu',)
+
+
+def _sorted_faces(face_vertices, textures, F, FC, cfg):
+    """Pad to a chunk multiple and Morton-sort faces by projected bbox
+    center (tight chunk bboxes make the tile x chunk cull selective).
+
+    Returns (fv, tex, fvalid, Fp, K, perm) where sorted[i] = orig[perm[i]].
+    Deterministic given the inputs, so forward and backward compute the
+    identical permutation.  Note: face *order* only affects exact-tie
+    resolution in the hard-RGB z-argmin (cu:816's strict <); sorted order
+    resolves such ties by Morton rank instead of input rank.
+    """
+    B = face_vertices.shape[0]
+    Fp = -(-F // FC) * FC
+    fv = jnp.asarray(face_vertices, jnp.float32)
+    tex = jnp.asarray(textures, jnp.float32)
+    if Fp != F:
+        fv = jnp.pad(fv, ((0, 0), (0, Fp - F), (0, 0)))
+        tex = jnp.pad(tex, ((0, 0), (0, Fp - F), (0, 0), (0, 0)))
+    fvalid = jnp.arange(Fp) < F
+
+    xs = fv[..., 0::3]
+    ys = fv[..., 1::3]
+    cx = 0.5 * (jnp.min(xs, -1) + jnp.max(xs, -1))
+    cy = 0.5 * (jnp.min(ys, -1) + jnp.max(ys, -1))
+    qx = jnp.clip((cx + 1.0) * 512.0, 0, 1023).astype(jnp.int32)
+    qy = jnp.clip((cy + 1.0) * 512.0, 0, 1023).astype(jnp.int32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = spread(qx) | (spread(qy) << 1)
+    key = jnp.where(fvalid[None, :], key, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key, axis=1)  # [B, Fp]
+
+    fv = jnp.take_along_axis(fv, perm[..., None], axis=1)
+    tex = jnp.take_along_axis(tex, perm[..., None, None], axis=1)
+    K = Fp // FC
+    return fv, tex, fvalid, Fp, K, perm
+
+
+def _pick_tile2d(is_, want):
+    """2D pixel tiles (tight bboxes in both axes).  Returns (tile_w,
+    tile_h) dividing the image size with tile_w*tile_h <= want."""
+    tw = is_
+    for cand in (32, 16, 8):
+        if is_ % cand == 0 and cand <= is_:
+            tw = cand
+            break
+    th = max(1, min(want // tw, is_))
+    while is_ % th:
+        th -= 1
+    return tw, th
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+# bwd per-face output columns: 9 vertex grads + texture grads
+def _n_tex_cols(cfg):
+    return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3
+
+
+def _bwd_kernel(mask_ref, par_ref, packed_ref, pix_ref, out_ref, acc_ref, *,
+                cfg: C.RenderConfig, TP, FC, is_, T_tiles, K, NO_B, tile_w,
+                tile_h, tx_n):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros((FC, NO_B), jnp.float32)
+
+    hit = mask_ref[(b * T_tiles + t) * K + k]
+
+    @pl.when(hit != 0)
+    def _compute():
+        par = tuple(par_ref[i] for i in range(NPAR))
+        gamma = par[P_GAMMA]
+
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+        lr = lidx // tile_w
+        lc = lidx - lr * tile_w
+        ty = t // tx_n
+        tx = t - ty * tx_n
+        prow = ty * tile_h + lr
+        pcol = tx * tile_w + lc
+        xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
+        yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+
+        def row(i):
+            return packed_ref[0, i, :].reshape(1, FC)
+
+        def pcolm(i):
+            # pixel-space column i as (TP, 1)
+            return pix_ref[0, :, i].reshape(TP, 1)
+
+        q = _pair_math(row, xp, yp, par, cfg)
+        frag, valid = q['frag'], q['valid']
+        zmask = valid & q['zvalid']
+
+        # pixel columns: 0-3 grad rgba, 4-7 final rgba, 8-9 aggr
+        gA = pcolm(3)
+        if cfg.aggr_alpha_func == C.ALPHA_HARD:
+            c_grad_xy = jnp.broadcast_to(gA, frag.shape)
+        else:
+            c_grad_xy = gA * T.aggregate_backward(
+                cfg.aggr_alpha_func, pcolm(7), frag, par[P_TCP])
+        c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
+
+        gz = None
+        gtex_coef = None
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
+            gidx = k * FC + lane
+            win = zmask & (pcolm(9).astype(jnp.int32) == gidx)
+            gtex_coef = [jnp.where(win, pcolm(c), 0.0) for c in range(3)]
+        else:
+            cmask = zmask & q['front_ok']
+            zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
+            zp_softmax = jnp.where(
+                cmask,
+                frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
+                                - pcolm(9)) / gamma) / pcolm(8), 0.0)
+            cols = _colors(row, q, cfg)
+            c_xyz = (pcolm(0) * (cols[0] - pcolm(4))
+                     + pcolm(1) * (cols[1] - pcolm(5))
+                     + pcolm(2) * (cols[2] - pcolm(6))) * zp_softmax
+            gtex_coef = [zp_softmax * pcolm(c) for c in range(3)]
+            c_grad_xy = c_grad_xy + jnp.where(
+                cmask, c_xyz / jnp.where(cmask, frag, 1.0), 0.0)
+            c_z = c_xyz / gamma / (par[P_NEAR] - par[P_FAR]) \
+                * q['zp'] * q['zp']
+            # w_clip_j / z_j^2 == wcn_j * iz_j^2 (cu:1027-1029)
+            gz = [jnp.where(cmask,
+                            c_z * q['wcn'][j] * (row(pack.R_IZ + j) ** 2),
+                            0.0)
+                  for j in range(3)]
+
+        pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'], par[P_SCALE],
+                      par[P_SHAPE], par[P_SHIFT])
+        c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
+
+        # closest-point weights tw from the selected edge (tv, ksel)
+        tv, ksel = q['tv'], q['ksel']
+        tw = []
+        for i in range(3):
+            # vertex i weight: tv if i == ksel, 1-tv if i == ksel+1 (mod 3),
+            # 0 otherwise
+            wv = jnp.where(ksel == i, tv,
+                           jnp.where(ksel == (i + 2) % 3, 1.0 - tv, 0.0))
+            tw.append(wv)
+
+        if cfg.dist_squared:
+            coef = 2.0 * q['sign'] * c_grad_xy
+        else:
+            coef = q['sign'] * c_grad_xy / jnp.maximum(
+                jnp.sqrt(q['dis_x'] ** 2 + q['dis_y'] ** 2), 1e-6)
+
+        # accumulate per-face grads: reduce over the pixel (sublane) axis
+        updates = []
+        for i in range(3):
+            gx = jnp.sum(coef * tw[i] * q['dis_x'], axis=0)  # (FC,)
+            gy = jnp.sum(coef * tw[i] * q['dis_y'], axis=0)
+            gzi = jnp.sum(gz[i], axis=0) if gz is not None \
+                else jnp.zeros_like(gx)
+            updates += [gx, gy, gzi]
+        if cfg.texture_type == C.TEXTURE_VERTEX:
+            for j in range(3):
+                for c in range(3):
+                    updates.append(jnp.sum(q['wcn'][j] * gtex_coef[c],
+                                           axis=0))
+        else:
+            for c in range(3):
+                updates.append(jnp.sum(gtex_coef[c], axis=0))
+        acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=1)
+
+    @pl.when(t == T_tiles - 1)
+    def _write():
+        out_ref[0, 0, :, :] = acc_ref[:, :]
+
+
+def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
+             grad_soft_colors, cfg: C.RenderConfig, params: Dict,
+             base_offset=0):
+    """Same contract as xla_backend.backward."""
+    del finfo
+    B, F = face_vertices.shape[:2]
+    TS = textures.shape[2]
+    if cfg.aggr_rgb_func == C.RGB_SOFTMAX and \
+            cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
+        from gendr_tpu.raster import prep
+        return X.backward(face_vertices, textures,
+                          prep.faces_info(face_vertices), soft_colors,
+                          aggrs_info, grad_soft_colors, cfg, params,
+                          base_offset)
+    # hard-RGB surface textures with TS > 1 route texture grads to texels;
+    # defer those to the XLA backend as well
+    if cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
+        from gendr_tpu.raster import prep
+        return X.backward(face_vertices, textures,
+                          prep.faces_info(face_vertices), soft_colors,
+                          aggrs_info, grad_soft_colors, cfg, params,
+                          base_offset)
+
+    is_ = cfg.image_size
+    P = is_ * is_
+    FC = cfg.face_chunk
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    TP = tile_w * tile_h
+    T_tiles = P // TP
+    tx_n = is_ // tile_w
+    _, _, pix_perm, _ = pack.tile_grid(is_, tile_w, tile_h)
+
+    fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
+                                                 F, FC, cfg)
+    iperm = jnp.argsort(perm, axis=1)  # orig face id -> sorted position
+
+    packed = pack.pack_faces(fv, tex, fvalid, cfg)
+    margin = pack.cull_margin(cfg, params)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC,
+                                margin).reshape(-1)
+    par = _params_vec(params)
+
+    # pixel-space tensor: columns [g_rgba (4), final_rgba (4), aggr0, aggr1]
+    g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
+    fin = soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
+    ag = aggrs_info.reshape(B, 2, P).transpose(0, 2, 1)
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        # aggrs stores original (possibly shard-global) winner ids; the
+        # kernel compares against sorted-order ids
+        orig = ag[..., 1].astype(jnp.int32) - base_offset
+        sortedid = jax.vmap(lambda ip, o: ip[jnp.clip(o, 0, Fp - 1)])(
+            iperm, orig)
+        sortedid = jnp.where(orig >= 0, sortedid, -1)
+        ag = jnp.stack([ag[..., 0], sortedid.astype(jnp.float32)], axis=-1)
+    pix_cols = jnp.concatenate([g, fin, ag], axis=-1)  # [B, P, 10]
+    pix_cols = pix_cols[:, pix_perm]  # row-major -> tiled pixel order
+
+    NO_B = 9 + _n_tex_cols(cfg)
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
+                               T_tiles=T_tiles, K=K, NO_B=NO_B,
+                               tile_w=tile_w, tile_h=tile_h, tx_n=tx_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, K, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, pack.NI, FC), lambda b, k, t, *_: (b, 0, k)),
+            pl.BlockSpec((1, TP, 10), lambda b, k, t, *_: (b, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, FC, NO_B),
+                               lambda b, k, t, *_: (b, k, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((FC, NO_B), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, FC, NO_B), jnp.float32),
+        interpret=_interpret(),
+    )(mask, par, packed, pix_cols)
+
+    out = out.reshape(B, Fp, NO_B)
+    # un-permute: grad for original face j sits at sorted position iperm[j]
+    out = jnp.take_along_axis(out, iperm[..., None], axis=1)[:, :F]
+    grad_faces = out[..., :9]
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        grad_tex = out[..., 9:18].reshape(B, F, 3, 3)
+    else:
+        grad_tex = out[..., 9:12].reshape(B, F, 1, 3)
+    return grad_faces, grad_tex

@@ -177,34 +177,19 @@ def _pad_faces(face_vertices, textures, finfo, cf):
 
 
 # ---------------------------------------------------------------------------
-# Forward
+# Forward — exposed as init/scan/merge/finalize so the face-axis-sharded
+# path (gendr_tpu.parallel) can run per-shard partial scans and merge the
+# carries with collectives (the t-conorm fold is associative; softmax-RGB is
+# a streaming logsumexp; hard RGB is an indexed argmin)
 # ---------------------------------------------------------------------------
 
-def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
-            params: Dict):
-    """Returns (soft_colors [B,4,H,W], aggrs_info [B,2,H,W]).
-
-    Semantics of ``forward_render_cuda_kernel`` (cu:680-862), streamed over
-    face chunks.
-    """
-    B, F = face_vertices.shape[:2]
-    is_ = cfg.image_size
-    P = is_ * is_
-    xp, yp = pixel_grid(is_)
-    cf = min(cfg.face_chunk, max(F, 1))
-
-    face_vertices, textures, finfo, fvalid, nc, Fp = _pad_faces(
-        face_vertices, textures, finfo, cf)
-
-    bg = jnp.broadcast_to(
-        jnp.asarray(params['background_color'],
-                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
-
-    # init carry (cu:728-739)
+def background_carry(B, P, bg, cfg: C.RenderConfig, params: Dict):
+    """The initial per-pixel aggregation state holding the background
+    (cu:728-739).  bg: [B, P, 3]."""
     alpha0 = jnp.zeros((B, P), jnp.float32)
     eps = params['aggr_rgb_eps']
     gamma = params['aggr_rgb_gamma']
-    smax0 = jnp.full((B, P), eps, jnp.float32) * jnp.ones(())
+    smax0 = jnp.full((B, P), 1.0, jnp.float32) * eps
     ssum0 = jnp.full((B, P), 1.0, jnp.float32) * jnp.exp(eps / gamma)
     if cfg.aggr_rgb_func == C.RGB_SOFTMAX:
         rgb0 = bg * ssum0[..., None]
@@ -212,12 +197,60 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
         rgb0 = bg
     depth0 = jnp.full((B, P), BIG_DEPTH, jnp.float32)
     fidx0 = jnp.full((B, P), -1, jnp.int32)
+    return (alpha0, smax0, ssum0, rgb0, depth0, fidx0)
 
-    carry0 = (alpha0, smax0, ssum0, rgb0, depth0, fidx0)
+
+def empty_carry(B, P, cfg: C.RenderConfig):
+    """Identity aggregation state (no background) for per-shard partials."""
+    return (jnp.zeros((B, P), jnp.float32),
+            jnp.full((B, P), NEG_INF, jnp.float32),
+            jnp.zeros((B, P), jnp.float32),
+            jnp.zeros((B, P, 3), jnp.float32),
+            jnp.full((B, P), BIG_DEPTH, jnp.float32),
+            jnp.full((B, P), -1, jnp.int32))
+
+
+def merge_carries(a, b, cfg: C.RenderConfig, params: Dict):
+    """Merge two aggregation states; ``a`` covers faces that precede ``b``
+    (tie-breaks: hard-RGB strict < keeps the earlier face)."""
+    gamma = params['aggr_rgb_gamma']
+    p_t = params['aggr_alpha_t_conorm_p']
+    alpha_a, smax_a, ssum_a, rgb_a, depth_a, fidx_a = a
+    alpha_b, smax_b, ssum_b, rgb_b, depth_b, fidx_b = b
+    if cfg.aggr_alpha_func == C.ALPHA_HARD:
+        alpha = jnp.maximum(alpha_a, alpha_b)
+    else:
+        alpha = T.fold_step(cfg.aggr_alpha_func, alpha_a, alpha_b, p_t)
+    m = jnp.maximum(smax_a, smax_b)
+    sa = jnp.exp((smax_a - m) / gamma)
+    sb = jnp.exp((smax_b - m) / gamma)
+    ssum = ssum_a * sa + ssum_b * sb
+    rgb_soft = rgb_a * sa[..., None] + rgb_b * sb[..., None]
+    better = depth_b < depth_a
+    depth = jnp.where(better, depth_b, depth_a)
+    fidx = jnp.where(better, fidx_b, fidx_a)
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        rgb = jnp.where(better[..., None], rgb_b, rgb_a)
+    else:
+        rgb = rgb_soft
+    return (alpha, m, ssum, rgb, depth, fidx)
+
+
+def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
+                  cfg: C.RenderConfig, params: Dict, base_offset=0):
+    """Scan all face chunks, starting from ``carry0``.  Inputs must already
+    be padded to a multiple of cfg.face_chunk; fvalid: [Fp] bool.
+    ``base_offset`` shifts the global face indices recorded for hard RGB."""
+    B, Fp = face_vertices.shape[:2]
+    is_ = cfg.image_size
+    xp, yp = pixel_grid(is_)
+    cf = min(cfg.face_chunk, max(Fp, 1))
+    nc = Fp // cf
+    gamma = params['aggr_rgb_gamma']
 
     xs = (_chunked(face_vertices, nc, cf), _chunked(finfo, nc, cf),
           _chunked(textures, nc, cf), fvalid.reshape(nc, cf),
-          jnp.arange(nc, dtype=jnp.int32) * cf)
+          base_offset + jnp.arange(nc, dtype=jnp.int32) * cf)
 
     def body(carry, chunk):
         alpha, smax, ssum, rgb, depth_min, fidx = carry
@@ -270,20 +303,47 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
 
         return (alpha, smax, ssum, rgb, depth_min, fidx), None
 
-    (alpha, smax, ssum, rgb, depth_min, fidx), _ = jax.lax.scan(
-        body, carry0, xs)
+    carry, _ = jax.lax.scan(body, carry0, xs)
+    return carry
 
+
+def finalize(carry, cfg: C.RenderConfig):
+    """Carry -> (soft_colors [B,4,H,W], aggrs_info [B,2,H,W])."""
+    alpha, smax, ssum, rgb, depth_min, fidx = carry
+    B = alpha.shape[0]
+    is_ = cfg.image_size
     if cfg.aggr_rgb_func == C.RGB_HARD:
         rgb_final = rgb
         aggr0, aggr1 = depth_min, fidx.astype(jnp.float32)
     else:
         rgb_final = rgb / ssum[..., None]
         aggr0, aggr1 = ssum, smax
-
     soft_colors = jnp.concatenate([rgb_final, alpha[..., None]], axis=-1)
     soft_colors = soft_colors.reshape(B, is_, is_, 4).transpose(0, 3, 1, 2)
     aggrs_info = jnp.stack([aggr0, aggr1], axis=1).reshape(B, 2, is_, is_)
     return soft_colors, aggrs_info
+
+
+def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
+            params: Dict):
+    """Returns (soft_colors [B,4,H,W], aggrs_info [B,2,H,W]).
+
+    Semantics of ``forward_render_cuda_kernel`` (cu:680-862), streamed over
+    face chunks.
+    """
+    B, F = face_vertices.shape[:2]
+    is_ = cfg.image_size
+    P = is_ * is_
+    cf = min(cfg.face_chunk, max(F, 1))
+    face_vertices, textures, finfo, fvalid, nc, Fp = _pad_faces(
+        face_vertices, textures, finfo, cf)
+    bg = jnp.broadcast_to(
+        jnp.asarray(params['background_color'],
+                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
+    carry0 = background_carry(B, P, bg, cfg, params)
+    carry = forward_carry(face_vertices, textures, finfo, fvalid, carry0,
+                          cfg, params)
+    return finalize(carry, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +351,8 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
 # ---------------------------------------------------------------------------
 
 def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
-             grad_soft_colors, cfg: C.RenderConfig, params: Dict):
+             grad_soft_colors, cfg: C.RenderConfig, params: Dict,
+             base_offset=0):
     """Returns (grad_face_vertices [B,F,9], grad_textures [B,F,TS,3]).
 
     Semantics of ``backward_render_cuda_kernel`` (cu:866-1065): recompute the
@@ -318,7 +379,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
 
     xs = (_chunked(face_vertices_p, nc, cf), _chunked(finfo_p, nc, cf),
           _chunked(textures_p, nc, cf), fvalid.reshape(nc, cf),
-          jnp.arange(nc, dtype=jnp.int32) * cf)
+          base_offset + jnp.arange(nc, dtype=jnp.int32) * cf)
 
     def body(_, chunk):
         face9, info27, tex, fv, base = chunk

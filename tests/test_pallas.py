@@ -1,0 +1,158 @@
+"""Pallas kernel vs XLA backend equivalence (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gendr_tpu import config as C
+from gendr_tpu.raster import pallas_backend as PB
+from gendr_tpu.raster import xla_backend as X
+from gendr_tpu.raster import prep
+from tests.test_render import random_scene, params_dict
+
+CONFIGS = [
+    dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='hard'),
+    dict(dist_func='logistic', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='softmax'),
+    dict(dist_func='gaussian', aggr_alpha_func='einstein',
+         aggr_rgb_func='hard', squared=True),
+    dict(dist_func='hard', aggr_alpha_func='hard', aggr_rgb_func='hard'),
+    dict(dist_func='cauchy', aggr_alpha_func='max', aggr_rgb_func='softmax'),
+]
+
+
+def _cfg(spec, texture_type='surface'):
+    return C.RenderConfig.create(
+        image_size=16, dist_func=spec['dist_func'],
+        dist_squared=spec.get('squared', False),
+        aggr_alpha_func=spec['aggr_alpha_func'],
+        aggr_rgb_func=spec['aggr_rgb_func'], double_side=True,
+        texture_type=texture_type, face_chunk=8, pixel_tile=64,
+        backend='pallas')
+
+
+@pytest.mark.parametrize('spec', CONFIGS)
+def test_pallas_forward_matches_xla(spec):
+    rng = np.random.RandomState(0)
+    fv = random_scene(rng, B=2, F=13).reshape(2, 13, 9)
+    tex = rng.rand(2, 13, 1, 3).astype(np.float32)
+    cfg = _cfg(spec)
+    params = params_dict(dist_scale=3e-2,
+                         background_color=np.array([0.1, 0.2, 0.3]))
+    finfo = prep.faces_info(jnp.asarray(fv))
+    want, want_ag = X.forward(jnp.asarray(fv), jnp.asarray(tex), finfo, cfg,
+                              params)
+    got, got_ag = PB.forward(jnp.asarray(fv), jnp.asarray(tex), finfo, cfg,
+                             params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_ag), np.asarray(want_ag),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize('spec', CONFIGS)
+def test_pallas_backward_matches_xla(spec):
+    """Each backend is paired with its own forward outputs (as in the
+    production custom_vjp).  The max t-conorm detects its winner by exact
+    float equality with the recomputed coverage (cu:574-575), so its grads
+    are only meaningful for self-consistent fwd/bwd pairs — covered by the
+    finite-difference test below instead."""
+    if spec['aggr_alpha_func'] == 'max':
+        pytest.skip('exact-equality winner detection: see FD test')
+    rng = np.random.RandomState(1)
+    fv = jnp.asarray(random_scene(rng, B=1, F=11).reshape(1, 11, 9))
+    tex = jnp.asarray(rng.rand(1, 11, 1, 3).astype(np.float32))
+    cfg = _cfg(spec)
+    params = params_dict(dist_scale=5e-2)
+    finfo = prep.faces_info(fv)
+    g = jnp.asarray(rng.randn(1, 4, 16, 16).astype(np.float32))
+    soft_x, aggrs_x = X.forward(fv, tex, finfo, cfg, params)
+    want_f, want_t = X.backward(fv, tex, finfo, soft_x, aggrs_x, g, cfg,
+                                params)
+    soft_p, aggrs_p = PB.forward(fv, tex, finfo, cfg, params)
+    got_f, got_t = PB.backward(fv, tex, finfo, soft_p, aggrs_p, g, cfg,
+                               params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_pallas_max_tconorm_finite_difference():
+    """Self-consistency of the pallas path for the max t-conorm."""
+    from gendr_tpu.raster.render import render
+    rng = np.random.RandomState(7)
+    fv = random_scene(rng, B=1, F=5)
+    tex = np.ones((1, 5, 1, 3), np.float32)
+    kw = dict(image_size=16, dist_func='logistic', dist_scale=0.1,
+              aggr_alpha_func='max', aggr_rgb_func='hard', face_chunk=8,
+              backend='pallas')
+
+    def loss(v):
+        img = render(v, tex, **kw)
+        return jnp.mean(img[:, 3] ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(fv)))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+    # central differences are unreliable at max-kinks (winner switches), so
+    # compare against the XLA backend instead, which is FD-validated on the
+    # smooth t-conorms and shares the max semantics
+    def loss_x(v):
+        img = render(v, tex, **{**kw, 'backend': 'xla'})
+        return jnp.mean(img[:, 3] ** 2)
+
+    g_x = np.asarray(jax.grad(loss_x)(jnp.asarray(fv)))
+    # exact-equality winner detection means a pair that is within an ulp in
+    # one recompute path can flip in the other; require bulk agreement
+    close = np.isclose(g, g_x, atol=1e-5, rtol=1e-3)
+    assert close.mean() > 0.7, close.mean()
+
+    # and the gradient must actually descend the pallas loss
+    l0 = float(loss(jnp.asarray(fv)))
+    l1 = float(loss(jnp.asarray(fv) - 0.05 * g / (np.abs(g).max() + 1e-9)))
+    assert l1 < l0
+
+
+def test_pallas_vertex_textures():
+    rng = np.random.RandomState(2)
+    fv = jnp.asarray(random_scene(rng, B=1, F=9).reshape(1, 9, 9))
+    tex = jnp.asarray(rng.rand(1, 9, 3, 3).astype(np.float32))
+    cfg = _cfg(dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+                    aggr_rgb_func='softmax'), texture_type='vertex')
+    params = params_dict(dist_scale=3e-2)
+    finfo = prep.faces_info(fv)
+    want, _ = X.forward(fv, tex, finfo, cfg, params)
+    got, _ = PB.forward(fv, tex, finfo, cfg, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-3)
+    soft, aggrs = want, _
+    soft, aggrs = X.forward(fv, tex, finfo, cfg, params)
+    g = jnp.asarray(rng.randn(*np.asarray(soft).shape).astype(np.float32))
+    want_f, want_t = X.backward(fv, tex, finfo, soft, aggrs, g, cfg, params)
+    got_f, got_t = PB.backward(fv, tex, finfo, soft, aggrs, g, cfg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_pallas_render_api():
+    """End-to-end through render(backend='pallas') incl. custom VJP."""
+    from gendr_tpu.raster.render import render
+    rng = np.random.RandomState(3)
+    fv = random_scene(rng, B=1, F=7)
+    tex = np.ones((1, 7, 1, 3), np.float32)
+    kw = dict(image_size=16, dist_func='uniform', dist_scale=5e-2,
+              aggr_rgb_func='hard', face_chunk=8)
+
+    def loss(v, backend):
+        img = render(v, tex, backend=backend, **kw)
+        return jnp.sum(img[:, 3] ** 2)
+
+    g_p = jax.grad(lambda v: loss(v, 'pallas'))(jnp.asarray(fv))
+    g_x = jax.grad(lambda v: loss(v, 'xla'))(jnp.asarray(fv))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-4,
+                               rtol=2e-3)

@@ -1,0 +1,77 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the face-sharded +
+batch-sharded render must match the single-device path, forward and
+backward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gendr_tpu import config as C
+from gendr_tpu.parallel import sharding as S
+from gendr_tpu.raster.render import render
+from tests.test_render import random_scene, params_dict
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    return S.make_mesh({'dp': 2, 'fp': 4})
+
+
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+def test_sharded_forward_matches(mesh, rgb):
+    rng = np.random.RandomState(0)
+    fv = random_scene(rng, B=4, F=37).reshape(4, 37, 9)
+    tex = rng.rand(4, 37, 1, 3).astype(np.float32)
+    cfg = C.RenderConfig.create(image_size=16, dist_func='uniform',
+                                aggr_alpha_func='probabilistic',
+                                aggr_rgb_func=rgb, face_chunk=4)
+    params = params_dict(dist_scale=3e-2,
+                         background_color=np.array([0.2, 0.1, 0.4]))
+
+    got = S.render_sharded(fv, tex, cfg, params, mesh)
+    want = render(fv, tex, image_size=16, dist_func='uniform',
+                  aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
+                  dist_scale=3e-2, face_chunk=4,
+                  background_color=np.array([0.2, 0.1, 0.4]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+def test_sharded_gradients_match(mesh, rgb):
+    rng = np.random.RandomState(1)
+    fv = random_scene(rng, B=4, F=21).reshape(4, 21, 9)
+    tex = rng.rand(4, 21, 1, 3).astype(np.float32)
+    cfg = C.RenderConfig.create(image_size=12, dist_func='logistic',
+                                aggr_alpha_func='probabilistic',
+                                aggr_rgb_func=rgb, face_chunk=4)
+    params = params_dict(dist_scale=5e-2)
+    render_fn = S.make_sharded_render(cfg, mesh)
+
+    def loss_sharded(fv_, tex_):
+        img = render_fn(fv_, tex_, params)
+        return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
+
+    def loss_ref(fv_, tex_):
+        img = render(fv_, tex_, image_size=12, dist_func='logistic',
+                     aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
+                     dist_scale=5e-2, face_chunk=4)
+        return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
+
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1))(jnp.asarray(fv),
+                                                  jnp.asarray(tex))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(fv),
+                                               jnp.asarray(tex))
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as GE
+    fn, args = GE.entry()
+    jax.jit(fn).lower(*args)  # compile-check (lowering only: fast on CPU)
+    GE.dryrun_multichip(len(jax.devices()))
