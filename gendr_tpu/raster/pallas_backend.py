@@ -213,41 +213,68 @@ def _colors(row, q, cfg: C.RenderConfig):
 NO_F = 8
 
 
-def _fwd_kernel(mask_ref, par_ref, packed_ref, out_ref, acc_ref, *,
-                cfg: C.RenderConfig, TP, FC, is_, T_tiles, K, tile_w,
-                tile_h, tx_n):
+def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
+                buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC, is_,
+                T_tiles, K, tile_w, tile_h, tx_n):
+    """One program per pixel tile; in-kernel loop over the tile's compacted
+    hit-chunk list with double-buffered HBM->VMEM DMA (misses are never
+    touched — the TPU-native replacement for the reference's per-thread
+    early exits)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _init():
-        if cfg.aggr_rgb_func == C.RGB_HARD:
-            col1, col2 = BIG_DEPTH, -1.0
-        else:
-            col1, col2 = 0.0, NEG_INF
-        acc_ref[:, :] = jnp.zeros((TP, NO_F), jnp.float32)
-        acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
-        acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        col1, col2 = BIG_DEPTH, -1.0
+    else:
+        col1, col2 = 0.0, NEG_INF
+    acc_ref[:, :] = jnp.zeros((TP, NO_F), jnp.float32)
+    acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
+    acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
 
-    hit = mask_ref[(b * T_tiles + t) * K + k]
+    n = count_ref[b * T_tiles + t]
+    par = tuple(par_ref[i] for i in range(NPAR))
 
-    @pl.when(hit != 0)
-    def _compute():
-        par = tuple(par_ref[i] for i in range(NPAR))
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+    lr = lidx // tile_w
+    lc = lidx - lr * tile_w
+    ty = t // tx_n
+    tx = t - ty * tx_n
+    prow = ty * tile_h + lr
+    pcol = tx * tile_w + lc
+    xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
+    yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
 
-        lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
-        lr = lidx // tile_w
-        lc = lidx - lr * tile_w
-        ty = t // tx_n
-        tx = t - ty * tx_n
-        prow = ty * tile_h + lr
-        pcol = tx * tile_w + lc
-        xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
-        yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+    def chunk_id(j):
+        return ids_ref[(b * T_tiles + t) * K + j]
+
+    def start_dma(slot, j):
+        cid = chunk_id(j)
+        pltpu.make_async_copy(
+            packed_hbm.at[b, :, pl.ds(cid * FC, FC)],
+            buf_ref.at[slot], sem_ref.at[slot]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(
+            packed_hbm.at[b, :, pl.ds(0, FC)],
+            buf_ref.at[slot], sem_ref.at[slot]).wait()
+
+    @pl.when(n > 0)
+    def _prefetch():
+        start_dma(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            start_dma(jax.lax.rem(j + 1, 2), j + 1)
+
+        wait_dma(slot)
+        cid = chunk_id(j)
 
         def row(i):
-            return packed_ref[0, i, :].reshape(1, FC)
+            return buf_ref[slot, i, :].reshape(1, FC)
 
         q = _pair_math(row, xp, yp, par, cfg)
         frag = q['frag']
@@ -265,8 +292,6 @@ def _fwd_kernel(mask_ref, par_ref, packed_ref, out_ref, acc_ref, *,
                                 par[P_TCP])
         acc_ref[:, 0:1] = alpha
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
-
         if cfg.aggr_rgb_func == C.RGB_HARD:
             # z-argmin with first-face tie-break (cu:815-822)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
@@ -282,7 +307,7 @@ def _fwd_kernel(mask_ref, par_ref, packed_ref, out_ref, acc_ref, *,
             better = (zmin < acc_ref[:, 1:2]) & (isel < FC)
             acc_ref[:, 1:2] = jnp.where(better, zmin, acc_ref[:, 1:2])
             acc_ref[:, 2:3] = jnp.where(
-                better, (k * FC + isel).astype(jnp.float32),
+                better, (cid * FC + isel).astype(jnp.float32),
                 acc_ref[:, 2:3])
             acc_ref[:, 3:4] = jnp.where(better, w0n, acc_ref[:, 3:4])
             acc_ref[:, 4:5] = jnp.where(better, w1n, acc_ref[:, 4:5])
@@ -306,10 +331,10 @@ def _fwd_kernel(mask_ref, par_ref, packed_ref, out_ref, acc_ref, *,
                 acc_ref[:, 5 + c:6 + c] = \
                     acc_ref[:, 5 + c:6 + c] * scale_old \
                     + jnp.sum(wexp * cols[c], axis=1, keepdims=True)
+        return 0
 
-    @pl.when(k == K - 1)
-    def _write():
-        out_ref[0, :, :] = acc_ref[:, :]
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[0, :, :] = acc_ref[:, :]
 
 
 def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
@@ -338,28 +363,32 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
                                                  F, FC, cfg)
     packed = pack.pack_faces(fv, tex, fvalid, cfg)
     margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC,
-                                margin).reshape(-1)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
+    tile_counts, tile_ids, _, _ = pack.compact_hits(mask)
     par = _params_vec(params)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, tile_w=tile_w,
                                tile_h=tile_h, tx_n=tx_n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, T_tiles, K),
+        num_scalar_prefetch=3,
+        grid=(B, T_tiles),
         in_specs=[
-            pl.BlockSpec((1, pack.NI, FC), lambda b, t, k, *_: (b, 0, k)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, k, *_: (b, t, 0)),
-        scratch_shapes=[pltpu.VMEM((TP, NO_F), jnp.float32)],
+        out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, *_: (b, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TP, NO_F), jnp.float32),
+            pltpu.VMEM((2, pack.NI, FC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, P, NO_F), jnp.float32),
         interpret=_interpret(),
-    )(mask, par, packed)
+    )(tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
     out = out[:, pix_inv]  # tiled pixel order -> row-major image order
 
     # -- XLA epilogue: background merge + deferred hard-RGB sampling
@@ -482,27 +511,56 @@ def _n_tex_cols(cfg):
     return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3
 
 
-def _bwd_kernel(mask_ref, par_ref, packed_ref, pix_ref, out_ref, acc_ref, *,
-                cfg: C.RenderConfig, TP, FC, is_, T_tiles, K, NO_B, tile_w,
-                tile_h, tx_n):
+def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
+                acc_ref, buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC,
+                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n):
+    """One program per face chunk; in-kernel loop over the chunk's compacted
+    hit-tile list, double-buffering the pixel-space columns HBM->VMEM.
+    Gradients accumulate in VMEM — deterministic, no atomics
+    (cu:1054-1063's atomicAdd is the non-deterministic part we replace)."""
     b = pl.program_id(0)
     k = pl.program_id(1)
-    t = pl.program_id(2)
 
-    @pl.when(t == 0)
-    def _init():
-        acc_ref[:, :] = jnp.zeros((FC, NO_B), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((FC, NO_B), jnp.float32)
 
-    hit = mask_ref[(b * T_tiles + t) * K + k]
+    n = count_ref[b * K + k]
+    par = tuple(par_ref[i] for i in range(NPAR))
+    gamma = par[P_GAMMA]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+    lr = lidx // tile_w
+    lc = lidx - lr * tile_w
 
-    @pl.when(hit != 0)
-    def _compute():
-        par = tuple(par_ref[i] for i in range(NPAR))
-        gamma = par[P_GAMMA]
+    def tile_id(j):
+        return ids_ref[(b * K + k) * T_tiles + j]
 
-        lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
-        lr = lidx // tile_w
-        lc = lidx - lr * tile_w
+    def start_dma(slot, j):
+        tid = tile_id(j)
+        pltpu.make_async_copy(
+            pix_hbm.at[b, pl.ds(tid * TP, TP), :],
+            buf_ref.at[slot], sem_ref.at[slot]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(
+            pix_hbm.at[b, pl.ds(0, TP), :],
+            buf_ref.at[slot], sem_ref.at[slot]).wait()
+
+    @pl.when(n > 0)
+    def _prefetch():
+        start_dma(0, 0)
+
+    def row(i):
+        return packed_ref[0, i, :].reshape(1, FC)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            start_dma(jax.lax.rem(j + 1, 2), j + 1)
+
+        wait_dma(slot)
+        t = tile_id(j)
         ty = t // tx_n
         tx = t - ty * tx_n
         prow = ty * tile_h + lr
@@ -510,12 +568,9 @@ def _bwd_kernel(mask_ref, par_ref, packed_ref, pix_ref, out_ref, acc_ref, *,
         xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
         yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
 
-        def row(i):
-            return packed_ref[0, i, :].reshape(1, FC)
-
         def pcolm(i):
             # pixel-space column i as (TP, 1)
-            return pix_ref[0, :, i].reshape(TP, 1)
+            return buf_ref[slot, :, i].reshape(TP, 1)
 
         q = _pair_math(row, xp, yp, par, cfg)
         frag, valid = q['frag'], q['valid']
@@ -533,7 +588,6 @@ def _bwd_kernel(mask_ref, par_ref, packed_ref, pix_ref, out_ref, acc_ref, *,
         gz = None
         gtex_coef = None
         if cfg.aggr_rgb_func == C.RGB_HARD:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
             gidx = k * FC + lane
             win = zmask & (pcolm(9).astype(jnp.int32) == gidx)
             gtex_coef = [jnp.where(win, pcolm(c), 0.0) for c in range(3)]
@@ -596,10 +650,10 @@ def _bwd_kernel(mask_ref, par_ref, packed_ref, pix_ref, out_ref, acc_ref, *,
             for c in range(3):
                 updates.append(jnp.sum(gtex_coef[c], axis=0))
         acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=1)
+        return 0
 
-    @pl.when(t == T_tiles - 1)
-    def _write():
-        out_ref[0, 0, :, :] = acc_ref[:, :]
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[0, 0, :, :] = acc_ref[:, :]
 
 
 def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
@@ -640,8 +694,8 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
 
     packed = pack.pack_faces(fv, tex, fvalid, cfg)
     margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC,
-                                margin).reshape(-1)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
+    _, _, chunk_counts, chunk_ids = pack.compact_hits(mask)
     par = _params_vec(params)
 
     # pixel-space tensor: columns [g_rgba (4), final_rgba (4), aggr0, aggr1]
@@ -664,22 +718,27 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                                T_tiles=T_tiles, K=K, NO_B=NO_B,
                                tile_w=tile_w, tile_h=tile_h, tx_n=tx_n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, K, T_tiles),
+        num_scalar_prefetch=3,
+        grid=(B, K),
         in_specs=[
-            pl.BlockSpec((1, pack.NI, FC), lambda b, k, t, *_: (b, 0, k)),
-            pl.BlockSpec((1, TP, 10), lambda b, k, t, *_: (b, t, 0)),
+            pl.BlockSpec((1, pack.NI, FC), lambda b, k, *_: (b, 0, k)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pix cols stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, FC, NO_B),
-                               lambda b, k, t, *_: (b, k, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((FC, NO_B), jnp.float32)],
+                               lambda b, k, *_: (b, k, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((FC, NO_B), jnp.float32),
+            pltpu.VMEM((2, TP, 10), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, K, FC, NO_B), jnp.float32),
         interpret=_interpret(),
-    )(mask, par, packed, pix_cols)
+    )(chunk_counts.reshape(-1), chunk_ids.reshape(-1), par, packed,
+      pix_cols)
 
     out = out.reshape(B, Fp, NO_B)
     # un-permute: grad for original face j sits at sorted position iperm[j]
