@@ -61,28 +61,37 @@ def main():
         img = render(fv_, tex_, **kw)
         return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3])
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    grad_fn = jax.grad(loss, argnums=(0, 1))
+
+    # The tunneled TPU backend costs ~1-3 ms per dispatch, so the iteration
+    # loop runs ON DEVICE: one jit executes `iters` chained fwd+bwd steps
+    # (a tiny data dependency keeps the chain alive without changing the
+    # scene).
+    @jax.jit
+    def run(fv_, tex_, eps):
+        def one(carry, _):
+            fv_c = carry
+            gf, gt = grad_fn(fv_c, tex_)
+            return fv_c + eps * gf, None
+        out, _ = jax.lax.scan(one, fv_, None, length=args.iters)
+        return out
 
     def sync(x):
-        # on the tunneled TPU backend block_until_ready returns before the
-        # device work completes; a host fetch is the reliable barrier
+        # block_until_ready returns early on the tunneled backend; a host
+        # fetch is the reliable barrier
         return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
 
-    # warmup / compile
+    eps = jnp.float32(0.0)
     t0 = time.perf_counter()
-    g = step(fv, tex)
-    sync(g)
+    sync(run(fv, tex, eps))
     print(f'compile+first-run: {time.perf_counter()-t0:.2f}s',
           file=sys.stderr)
 
-    # device-side kernels serialize, so N dispatches + one final host fetch
-    # bounds the per-step time tightly
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            g = step(fv, tex)
-        sync(g)
+        o = run(fv, tex, eps)
+        sync(o)
         times.append((time.perf_counter() - t0) / args.iters)
     dt = float(np.min(times))
     pairs = B * is_ * is_ * F

@@ -249,6 +249,29 @@ def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin):
     return (ov_x & ov_y).astype(jnp.int32)  # [B, T, K]
 
 
+def untile(arr, image_size, tile_w, tile_h):
+    """[B, T*TP, C] in tiled pixel order -> [B, H*W, C] image order, as a
+    pure reshape/transpose chain (a gather here costs ~0.5 ms at 256^2)."""
+    B = arr.shape[0]
+    C = arr.shape[-1]
+    is_ = image_size
+    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    a = arr.reshape(B, ty_n, tx_n, tile_h, tile_w, C)
+    a = a.transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(B, is_ * is_, C)
+
+
+def tile(arr, image_size, tile_w, tile_h):
+    """[B, H*W, C] image order -> [B, T*TP, C] tiled pixel order."""
+    B = arr.shape[0]
+    C = arr.shape[-1]
+    is_ = image_size
+    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    a = arr.reshape(B, ty_n, tile_h, tx_n, tile_w, C)
+    a = a.transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(B, is_ * is_, C)
+
+
 def compact_hits(mask):
     """Compact the [B, T, K] overlap mask into iteration lists.
 

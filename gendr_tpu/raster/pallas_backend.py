@@ -41,6 +41,7 @@ from gendr_tpu.raster import xla_backend as X
 
 NEG_INF = -1e30
 BIG_DEPTH = X.BIG_DEPTH
+NPIXC = 16  # padded pixel-column count for the backward kernel's DMA slabs
 
 # parameter-vector slots (SMEM scalar prefetch)
 P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR = \
@@ -72,12 +73,42 @@ def _tconorm_butterfly(tid, frag, p):
     return frag[:, :1]
 
 
-def _pair_math(row, xp, yp, par, cfg: C.RenderConfig):
+def _alpha_chunk_update(tid, alpha, frag, p):
+    """Fold a chunk's coverages into the alpha carry.
+
+    The common t-conorms have closed multiplicative forms (exact up to fp
+    rounding vs the reference's sequential fold):
+      probabilistic: 1 - prod(1 - b)            (cu:484-485)
+      max:           max(b)
+      einstein:      u = (1-b)/(1+b) is multiplicative under the fold
+    Everything else uses the generic butterfly reduction.
+    """
+    if tid == C.MAX_TCN:
+        return jnp.maximum(alpha,
+                           jnp.max(frag, axis=1, keepdims=True))
+    if tid == C.PROBABILISTIC_TCN:
+        # prod(1-b) in log space (Mosaic has no reduce_prod); frag == 1
+        # gives log1p(-1) = -inf -> keep = 0, which is the correct limit
+        keep = jnp.exp(jnp.sum(jnp.log1p(-frag), axis=1, keepdims=True))
+        return 1.0 - (1.0 - alpha) * keep
+    if tid == C.EINSTEIN_TCN:
+        logu = jnp.log1p(-frag) - jnp.log1p(frag)
+        u = jnp.exp(jnp.sum(logu, axis=1, keepdims=True))
+        ua = (1.0 - alpha) / (1.0 + alpha)
+        ut = ua * u
+        return (1.0 - ut) / (1.0 + ut)
+    chunk = _tconorm_butterfly(tid, frag, p)
+    return T.fold_step(tid, alpha, chunk, p)
+
+
+def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True):
     """Shared per-(pixel, face) math on a (TP, FC) tile.
 
     row(i): the i-th packed per-face constant as a (1, FC) array.
     Returns a dict of (TP, FC) arrays (see xla_backend._pair_quantities for
-    the reference semantics each field mirrors).
+    the reference semantics each field mirrors).  need_wcn=False skips the
+    three per-pair normalization divides when the caller only needs the
+    winner's normalized barycentrics (computed select-then-divide).
     """
     thr = par[P_THR]
     mrg = jnp.sqrt(thr)
@@ -185,7 +216,10 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig):
     denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
              + wc2 * row(pack.R_IZ + 2))
     zp = s / denom
-    q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
+    q['wc_raw'] = (wc0, wc1, wc2)
+    q['wc_sum'] = s
+    if need_wcn:
+        q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
     q['zp'] = zp
     q['zvalid'] = (zp >= par[P_NEAR]) & (zp <= par[P_FAR])
     if cfg.double_side:
@@ -276,7 +310,9 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
-        q = _pair_math(row, xp, yp, par, cfg)
+        need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
+                    and cfg.texture_type == C.TEXTURE_VERTEX)
+        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn)
         frag = q['frag']
 
         # -- alpha (cu:791-801)
@@ -286,10 +322,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                 alpha, jnp.max(jnp.where(frag > 0.5, 1.0, 0.0), axis=1,
                                keepdims=True))
         else:
-            chunk = _tconorm_butterfly(cfg.aggr_alpha_func, frag,
-                                       par[P_TCP])
-            alpha = T.fold_step(cfg.aggr_alpha_func, alpha, chunk,
-                                par[P_TCP])
+            alpha = _alpha_chunk_update(cfg.aggr_alpha_func, alpha, frag,
+                                        par[P_TCP])
         acc_ref[:, 0:1] = alpha
 
         if cfg.aggr_rgb_func == C.RGB_HARD:
@@ -300,10 +334,27 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
             isel = jnp.min(jnp.where(zm == zmin, lane, FC), axis=1,
                            keepdims=True)
             win = lane == isel
-            w0n = jnp.sum(jnp.where(win, q['wcn'][0], 0.0), axis=1,
-                          keepdims=True)
-            w1n = jnp.sum(jnp.where(win, q['wcn'][1], 0.0), axis=1,
-                          keepdims=True)
+
+            def wsel(x):
+                return jnp.sum(jnp.where(win, x, 0.0), axis=1,
+                               keepdims=True)
+
+            # winner barycentrics: select raw, divide once per pixel
+            w0w = wsel(q['wc_raw'][0])
+            w1w = wsel(q['wc_raw'][1])
+            sw = jnp.maximum(wsel(q['wc_sum']), 1e-5)
+            w0n = w0w / sw
+            w1n = w1w / sw
+            # winner color sampled in-kernel (the XLA gather epilogue costs
+            # ~0.5 ms per 256^2 image)
+            if cfg.texture_type == C.TEXTURE_VERTEX:
+                tj = [[wsel(row(pack.R_TEX + 3 * jv + c)) for c in range(3)]
+                      for jv in range(3)]
+                w2n = 1.0 - w0n - w1n
+                color = [w0n * tj[0][c] + w1n * tj[1][c] + w2n * tj[2][c]
+                         for c in range(3)]
+            else:
+                color = [wsel(row(pack.R_TEX + c)) for c in range(3)]
             better = (zmin < acc_ref[:, 1:2]) & (isel < FC)
             acc_ref[:, 1:2] = jnp.where(better, zmin, acc_ref[:, 1:2])
             acc_ref[:, 2:3] = jnp.where(
@@ -311,6 +362,9 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                 acc_ref[:, 2:3])
             acc_ref[:, 3:4] = jnp.where(better, w0n, acc_ref[:, 3:4])
             acc_ref[:, 4:5] = jnp.where(better, w1n, acc_ref[:, 4:5])
+            for c in range(3):
+                acc_ref[:, 5 + c:6 + c] = jnp.where(
+                    better, color[c], acc_ref[:, 5 + c:6 + c])
         else:
             # streaming softmax (cu:824-839)
             gamma = par[P_GAMMA]
@@ -337,18 +391,45 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
     out_ref[0, :, :] = acc_ref[:, :]
 
 
+def _xla_fallback(cfg, textures):
+    """TS>1 surface textures need per-pair texel gathers; route to XLA."""
+    return cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 1
+
+
+def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict):
+    """Sort, pack, and build cull lists once; shared by fwd and bwd."""
+    B, F = face_vertices.shape[:2]
+    is_ = cfg.image_size
+    FC = cfg.face_chunk
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
+                                                 F, FC, cfg)
+    packed = pack.pack_faces(fv, tex, fvalid, cfg)
+    margin = pack.cull_margin(cfg, params)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
+    tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
+    return dict(packed=packed, perm=perm, tile_counts=tile_counts,
+                tile_ids=tile_ids, chunk_counts=chunk_counts,
+                chunk_ids=chunk_ids)
+
+
 def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
             params: Dict):
     """Same contract as xla_backend.forward."""
     del finfo  # the Pallas path uses its own packed constants
+    soft, aggrs, _ = forward_with_aux(face_vertices, textures, cfg, params)
+    return soft, aggrs
+
+
+def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
+                     params: Dict, aux=None):
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
-    if cfg.aggr_rgb_func == C.RGB_SOFTMAX and \
-            cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
-        # high-res surface textures need per-pair gathers; XLA handles those
+    if _xla_fallback(cfg, textures):
         from gendr_tpu.raster import prep
-        return X.forward(face_vertices, textures,
-                         prep.faces_info(face_vertices), cfg, params)
+        finfo = prep.faces_info(face_vertices)
+        soft, aggrs = X.forward(face_vertices, textures, finfo, cfg, params)
+        return soft, aggrs, finfo
 
     is_ = cfg.image_size
     P = is_ * is_
@@ -357,14 +438,13 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w
-    _, _, _, pix_inv = pack.tile_grid(is_, tile_w, tile_h)
 
-    fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
-                                                 F, FC, cfg)
-    packed = pack.pack_faces(fv, tex, fvalid, cfg)
-    margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
-    tile_counts, tile_ids, _, _ = pack.compact_hits(mask)
+    if aux is None:
+        aux = _prepass(face_vertices, textures, cfg, params)
+    packed, perm = aux['packed'], aux['perm']
+    tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
+    Fp = packed.shape[2]
+    K = Fp // FC
     par = _params_vec(params)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
@@ -389,23 +469,17 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
         out_shape=jax.ShapeDtypeStruct((B, P, NO_F), jnp.float32),
         interpret=_interpret(),
     )(tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
-    out = out[:, pix_inv]  # tiled pixel order -> row-major image order
+    # tiled pixel order -> row-major image order (transpose chain, no gather)
+    out = pack.untile(out, is_, tile_w, tile_h)
 
-    # -- XLA epilogue: background merge + deferred hard-RGB sampling
+    # -- XLA epilogue: background merge (colors already sampled in-kernel)
     alpha = out[..., 0]
     if cfg.aggr_rgb_func == C.RGB_HARD:
-        depth, fidxf = out[..., 1], out[..., 2]
-        fidx_sorted = fidxf.astype(jnp.int32)
-        # map sorted-order winner indices back to original face ids
-        fidx = jnp.where(
-            fidx_sorted >= 0,
-            jax.vmap(lambda p, i: p[jnp.clip(i, 0, Fp - 1)])(
-                perm, fidx_sorted).astype(jnp.int32),
-            -1)
-        w0n, w1n = out[..., 3], out[..., 4]
-        w2n = 1.0 - w0n - w1n
-        rgb = _sample_hard_colors(
-            jnp.asarray(textures, jnp.float32), fidx, (w0n, w1n, w2n), cfg)
+        depth = out[..., 1]
+        # NOTE: winner ids stay in Morton-sorted space throughout the pallas
+        # pipeline (aux['perm'] maps them to input order if ever needed)
+        fidx = out[..., 2].astype(jnp.int32)
+        rgb = out[..., 5:8]
         carry = (alpha, jnp.zeros_like(alpha), jnp.zeros_like(alpha), rgb,
                  depth, fidx)
     else:
@@ -420,25 +494,8 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
                     jnp.float32).reshape(1, 1, 3), (B, P, 3))
     carry = X.merge_carries(X.background_carry(B, P, bg, cfg, params),
                             carry, cfg, params)
-    return X.finalize(carry, cfg)
-
-
-def _sample_hard_colors(tex, fidx, wcn, cfg: C.RenderConfig):
-    """Gather + sample the winning face's texture (cheap XLA epilogue)."""
-    B, Fp, TS, _ = tex.shape
-    idx = jnp.clip(fidx, 0, Fp - 1)
-    tex_win = jax.vmap(lambda tb, ib: tb[ib])(tex, idx)  # [B, P, TS, 3]
-    if cfg.texture_type == C.TEXTURE_VERTEX:
-        return (wcn[0][..., None] * tex_win[..., 0, :]
-                + wcn[1][..., None] * tex_win[..., 1, :]
-                + wcn[2][..., None] * tex_win[..., 2, :])
-    from gendr_tpu.raster import geometry as G
-    R = int(round(TS ** 0.5))
-    if TS == 1:
-        return tex_win[..., 0, :]
-    ti = G.surface_texel_index(wcn, R)
-    return jnp.take_along_axis(tex_win, ti[..., None, None],
-                               axis=2)[..., 0, :]
+    soft_colors, aggrs_info = X.finalize(carry, cfg)
+    return soft_colors, aggrs_info, aux
 
 
 def _interpret():
@@ -484,6 +541,10 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg):
 
     fv = jnp.take_along_axis(fv, perm[..., None], axis=1)
     tex = jnp.take_along_axis(tex, perm[..., None, None], axis=1)
+    # stop XLA from fusing the sort-gather into every consumer of the
+    # packed constants (it re-materializes the gather per row, which blows
+    # joint compile time up by ~50x)
+    fv, tex, perm = jax.lax.optimization_barrier((fv, tex, perm))
     K = Fp // FC
     return fv, tex, fvalid, Fp, K, perm
 
@@ -536,13 +597,15 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
     def start_dma(slot, j):
         tid = tile_id(j)
+        # pix columns are SoA [B, 10, P]: the copied (10, TP) slab has an
+        # aligned minor dim (a (TP, 10) slab crashes the Mosaic compiler)
         pltpu.make_async_copy(
-            pix_hbm.at[b, pl.ds(tid * TP, TP), :],
+            pix_hbm.at[b, :, pl.ds(tid * TP, TP)],
             buf_ref.at[slot], sem_ref.at[slot]).start()
 
     def wait_dma(slot):
         pltpu.make_async_copy(
-            pix_hbm.at[b, pl.ds(0, TP), :],
+            pix_hbm.at[b, :, pl.ds(0, TP)],
             buf_ref.at[slot], sem_ref.at[slot]).wait()
 
     @pl.when(n > 0)
@@ -568,11 +631,16 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
         yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
 
+        # one lanes->sublanes transpose per tile load
+        pix_t = jnp.transpose(buf_ref[slot, :, :], (1, 0))  # (TP, NPIXC)
+
         def pcolm(i):
             # pixel-space column i as (TP, 1)
-            return buf_ref[slot, :, i].reshape(TP, 1)
+            return pix_t[:, i:i + 1]
 
-        q = _pair_math(row, xp, yp, par, cfg)
+        need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
+                    or cfg.texture_type == C.TEXTURE_VERTEX)
+        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn)
         frag, valid = q['frag'], q['valid']
         zmask = valid & q['zvalid']
 
@@ -661,21 +729,22 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
              base_offset=0):
     """Same contract as xla_backend.backward."""
     del finfo
+    return backward_from_aux(face_vertices, textures, None, soft_colors,
+                             aggrs_info, grad_soft_colors, cfg, params,
+                             base_offset)
+
+
+def backward_from_aux(face_vertices, textures, aux, soft_colors,
+                      aggrs_info, grad_soft_colors, cfg: C.RenderConfig,
+                      params: Dict, base_offset=0):
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
-    if cfg.aggr_rgb_func == C.RGB_SOFTMAX and \
-            cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
+    if _xla_fallback(cfg, textures):
+        # aux is faces_info in the fallback regime (see forward_with_aux)
         from gendr_tpu.raster import prep
-        return X.backward(face_vertices, textures,
-                          prep.faces_info(face_vertices), soft_colors,
-                          aggrs_info, grad_soft_colors, cfg, params,
-                          base_offset)
-    # hard-RGB surface textures with TS > 1 route texture grads to texels;
-    # defer those to the XLA backend as well
-    if cfg.texture_type == C.TEXTURE_SURFACE and TS > 1:
-        from gendr_tpu.raster import prep
-        return X.backward(face_vertices, textures,
-                          prep.faces_info(face_vertices), soft_colors,
+        finfo = aux if aux is not None and not isinstance(aux, dict) \
+            else prep.faces_info(face_vertices)
+        return X.backward(face_vertices, textures, finfo, soft_colors,
                           aggrs_info, grad_soft_colors, cfg, params,
                           base_offset)
 
@@ -686,32 +755,28 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w
-    _, _, pix_perm, _ = pack.tile_grid(is_, tile_w, tile_h)
 
-    fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
-                                                 F, FC, cfg)
+    if aux is None:
+        aux = _prepass(face_vertices, textures, cfg, params)
+    packed, perm = aux['packed'], aux['perm']
+    chunk_counts, chunk_ids = aux['chunk_counts'], aux['chunk_ids']
+    Fp = packed.shape[2]
+    K = Fp // FC
     iperm = jnp.argsort(perm, axis=1)  # orig face id -> sorted position
-
-    packed = pack.pack_faces(fv, tex, fvalid, cfg)
-    margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
-    _, _, chunk_counts, chunk_ids = pack.compact_hits(mask)
     par = _params_vec(params)
 
     # pixel-space tensor: columns [g_rgba (4), final_rgba (4), aggr0, aggr1]
+    # (aggrs winner ids are already in Morton-sorted space; base_offset only
+    # applies on the shard_map path, which routes through the XLA backend)
+    del base_offset
     g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
     fin = soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
     ag = aggrs_info.reshape(B, 2, P).transpose(0, 2, 1)
-    if cfg.aggr_rgb_func == C.RGB_HARD:
-        # aggrs stores original (possibly shard-global) winner ids; the
-        # kernel compares against sorted-order ids
-        orig = ag[..., 1].astype(jnp.int32) - base_offset
-        sortedid = jax.vmap(lambda ip, o: ip[jnp.clip(o, 0, Fp - 1)])(
-            iperm, orig)
-        sortedid = jnp.where(orig >= 0, sortedid, -1)
-        ag = jnp.stack([ag[..., 0], sortedid.astype(jnp.float32)], axis=-1)
     pix_cols = jnp.concatenate([g, fin, ag], axis=-1)  # [B, P, 10]
-    pix_cols = pix_cols[:, pix_perm]  # row-major -> tiled pixel order
+    pix_cols = pack.tile(pix_cols, is_, tile_w, tile_h)  # tiled pixel order
+    pix_cols = pix_cols.transpose(0, 2, 1)  # SoA [B, 10, P] for aligned DMA
+    # sublane dim of the DMA'd slab must be a multiple of 8
+    pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - 10), (0, 0)))
 
     NO_B = 9 + _n_tex_cols(cfg)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
@@ -728,7 +793,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                                lambda b, k, *_: (b, k, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((FC, NO_B), jnp.float32),
-            pltpu.VMEM((2, TP, 10), jnp.float32),
+            pltpu.VMEM((2, NPIXC, TP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

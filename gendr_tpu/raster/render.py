@@ -2,9 +2,10 @@
 
 Equivalent of the reference's autograd Function + ``render`` wrapper
 (gendr/functional/renderer.py:11-288): gradients flow only to
-``face_vertices`` and ``textures``; the backward pass is recompute-based with
-the same residual footprint (faces, textures, soft_colors, faces_info,
-aggrs_info — functional/renderer.py:183).
+``face_vertices`` and ``textures``; the backward pass is recompute-based
+with the reference's residual footprint (inputs + final soft_colors +
+aggrs_info, functional/renderer.py:183) plus the backend's prepass products
+(packed face constants, cull lists) so backward never re-sorts/re-packs.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from gendr_tpu import config as C
-from gendr_tpu.raster import prep, xla_backend
+from gendr_tpu.raster import xla_backend
 
 
 def _get_backend(cfg: C.RenderConfig):
@@ -28,26 +29,24 @@ def _get_backend(cfg: C.RenderConfig):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_core(cfg, face_vertices, textures, params):
-    finfo = prep.faces_info(face_vertices)
-    soft_colors, _ = _get_backend(cfg).forward(
-        face_vertices, textures, finfo, cfg, params)
+    soft_colors, _, _ = _get_backend(cfg).forward_with_aux(
+        face_vertices, textures, cfg, params)
     return soft_colors
 
 
 def _render_fwd(cfg, face_vertices, textures, params):
-    finfo = prep.faces_info(face_vertices)
-    soft_colors, aggrs_info = _get_backend(cfg).forward(
-        face_vertices, textures, finfo, cfg, params)
-    residuals = (face_vertices, textures, finfo, soft_colors, aggrs_info,
+    soft_colors, aggrs_info, aux = _get_backend(cfg).forward_with_aux(
+        face_vertices, textures, cfg, params)
+    residuals = (face_vertices, textures, aux, soft_colors, aggrs_info,
                  params)
     return soft_colors, residuals
 
 
 def _render_bwd(cfg, residuals, grad_soft_colors):
-    face_vertices, textures, finfo, soft_colors, aggrs_info, params = \
+    face_vertices, textures, aux, soft_colors, aggrs_info, params = \
         residuals
-    grad_faces, grad_textures = _get_backend(cfg).backward(
-        face_vertices, textures, finfo, soft_colors, aggrs_info,
+    grad_faces, grad_textures = _get_backend(cfg).backward_from_aux(
+        face_vertices, textures, aux, soft_colors, aggrs_info,
         grad_soft_colors, cfg, params)
     zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
     return grad_faces, grad_textures, zero_params

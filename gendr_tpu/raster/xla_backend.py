@@ -482,3 +482,23 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
     grad_faces = jnp.moveaxis(gfaces, 0, 1).reshape(B, Fp, 9)[:, :F]
     grad_tex = jnp.moveaxis(gtexs, 0, 1).reshape(B, Fp, TS, 3)[:, :F]
     return grad_faces, grad_tex
+
+
+# ---------------------------------------------------------------------------
+# Backend aux contract (see raster.render): aux = faces_info
+# ---------------------------------------------------------------------------
+
+def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
+                     params: Dict):
+    from gendr_tpu.raster import prep
+    finfo = prep.faces_info(face_vertices)
+    soft_colors, aggrs_info = forward(face_vertices, textures, finfo, cfg,
+                                      params)
+    return soft_colors, aggrs_info, finfo
+
+
+def backward_from_aux(face_vertices, textures, aux, soft_colors, aggrs_info,
+                      grad_soft_colors, cfg: C.RenderConfig, params: Dict,
+                      base_offset=0):
+    return backward(face_vertices, textures, aux, soft_colors, aggrs_info,
+                    grad_soft_colors, cfg, params, base_offset)

@@ -22,3 +22,9 @@ try:
     jax.config.update('jax_platforms', 'cpu')
 except Exception:
     pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: long-running experiment smoke tests '
+        '(deselect with -m "not slow")')

@@ -1,0 +1,69 @@
+"""Convergence smoke tests for the three experiments (tiny configs).
+
+The reference validates itself through these experiments' metrics
+(SURVEY.md §4); these are their miniature equivalents.
+"""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_script(path, argv):
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        return runpy.run_path(path, run_name='__main__')
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.slow
+def test_opt_shape_quick(tmp_path):
+    mod = run_script('experiments/opt_shape.py',
+                     ['--quick', '-ni', '8', '-is', '24',
+                      '--views', '24@0', '--out-dir', str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_opt_camera_quick(tmp_path):
+    run_script('experiments/opt_camera.py',
+               ['--quick', '-is', '24', '-ni', '20',
+                '--out-dir', str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_train_reconstruction_synthetic(tmp_path):
+    run_script('experiments/train_reconstruction.py',
+               ['--quick', '--synthetic', '--image_size', '32'])
+
+
+def test_shape_model_parametrization():
+    """The sigmoid reparametrization reproduces the template at zero
+    displacement (opt_shape.py:75-87)."""
+    sys.path.insert(0, '.')
+    from experiments.opt_shape import ShapeModel
+    import jax.numpy as jnp
+    m = ShapeModel(642)
+    params = m.init_params()
+    verts, faces, lap, flat = m(params, 2)
+    np.testing.assert_allclose(np.asarray(verts[0]),
+                               np.asarray(m.base_vertices), atol=1e-5)
+    assert verts.shape[0] == 2
+    assert float(lap) >= 0 and float(flat) >= 0
+
+
+def test_default_dist_scale_table():
+    sys.path.insert(0, '.')
+    from experiments.train_reconstruction import default_dist_scale
+    # spot-check against train_reconstruction.py:556-574
+    assert default_dist_scale('uniform', False, 'probabilistic', 0.0) == \
+        pytest.approx(10 ** -1.5)
+    assert default_dist_scale('logistic', True, 'yager', 2.0) == \
+        pytest.approx(10 ** -4.0)
+    assert default_dist_scale('cauchy', True, 'probabilistic', 0.0) == \
+        pytest.approx(10 ** -4.5)
+    with pytest.raises(AssertionError):
+        default_dist_scale('levy', False, 'probabilistic', 0.0)
