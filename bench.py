@@ -24,7 +24,8 @@ def main():
                     help='xla | pallas (default: pallas on TPU, else xla)')
     ap.add_argument('--image-size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=20)
-    ap.add_argument('--face-chunk', type=int, default=256)
+    ap.add_argument('--face-chunk', type=int, default=128)
+    ap.add_argument('--pixel-tile', type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -55,7 +56,8 @@ def main():
 
     kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
               aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
-              backend=backend, face_chunk=args.face_chunk)
+              backend=backend, face_chunk=args.face_chunk,
+              pixel_tile=args.pixel_tile)
 
     def loss(fv_, tex_):
         img = render(fv_, tex_, **kw)

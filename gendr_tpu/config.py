@@ -140,13 +140,13 @@ class RenderConfig:
     # face-chunk size for the streaming aggregation scan
     face_chunk: int = 128
     # pixel tile size for the Pallas kernel
-    pixel_tile: int = 512
+    pixel_tile: int = 256
 
     @classmethod
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
-               face_chunk=128, pixel_tile=512) -> 'RenderConfig':
+               face_chunk=128, pixel_tile=256) -> 'RenderConfig':
         return cls(
             image_size=int(image_size),
             dist_func=resolve(dist_func, DIST_FUNC_MAP),

@@ -101,7 +101,8 @@ def _alpha_chunk_update(tid, alpha, frag, p):
     return T.fold_step(tid, alpha, chunk, p)
 
 
-def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True):
+def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
+               fwd_only=False):
     """Shared per-(pixel, face) math on a (TP, FC) tile.
 
     row(i): the i-th packed per-face constant as a (1, FC) array.
@@ -139,8 +140,40 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True):
         q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
                  dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
                  cull=jnp.zeros_like(inside))
+    elif fwd_only:
+        # Forward pass needs only dis^2: the region decision tree
+        # (cu:127-139) exists to FIND the minimizing clamped edge, so a
+        # plain min over the three clamped edge distances gives the same
+        # value without the selection logic.
+        d2u_min = None
+        d2c_min = None
+        for k in range(3):
+            tv = row(pack.R_TV + 3 * k) * xp \
+                + row(pack.R_TV + 3 * k + 1) * yp \
+                + row(pack.R_TV + 3 * k + 2)
+            bx = row(pack.R_PV1 + 2 * k) - xp
+            by = row(pack.R_PV1 + 2 * k + 1) - yp
+            ex = row(pack.R_E + 2 * k)
+            ey = row(pack.R_E + 2 * k + 1)
+            ux = bx + tv * ex
+            uy = by + tv * ey
+            d2u = ux * ux + uy * uy
+            tvc = jnp.clip(tv, 0.0, 1.0)
+            cx = bx + tvc * ex
+            cy = by + tvc * ey
+            d2c = cx * cx + cy * cy
+            d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
+            d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
+        dis2 = jnp.where(inside, d2u_min, d2c_min)
+        cull = (~inside) & (dis2 >= thr)
+        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
+        sign = jnp.where(inside, 1.0, -1.0)
+        frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
+                     par[P_SHIFT])
+        q.update(sign=sign, dis=dis, cull=cull)
     else:
-        tvs, dxu, dyu, d2u, dxc, dyc, tvcs = [], [], [], [], [], [], []
+        tvs, dxu, dyu, d2u, dxc, dyc, tvcs, d2c = \
+            [], [], [], [], [], [], [], []
         for k in range(3):
             tv = row(pack.R_TV + 3 * k) * xp \
                 + row(pack.R_TV + 3 * k + 1) * yp \
@@ -157,8 +190,11 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True):
             dxu.append(ux)
             dyu.append(uy)
             d2u.append(ux * ux + uy * uy)
-            dxc.append(bx + tvc * ex)
-            dyc.append(by + tvc * ey)
+            cx = bx + tvc * ex
+            cy = by + tvc * ey
+            dxc.append(cx)
+            dyc.append(cy)
+            d2c.append(cx * cx + cy * cy)
 
         # inside: first-minimum edge (cu:91-120)
         sel0 = (d2u[0] <= d2u[1]) & (d2u[0] <= d2u[2])
@@ -193,7 +229,13 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True):
         dis_y = jnp.where(inside, sel3(kin, dyu), sel3(vout, dyc))
         tv_sel = jnp.where(inside, sel3(kin, tvs), sel3(vout, tvcs))
 
-        dis2 = dis_x * dis_x + dis_y * dis_y
+        # dis magnitude via the same min-formula as the forward fast path so
+        # recomputed coverages match the forward bitwise (the max t-conorm
+        # backward detects its winner by exact equality, cu:574-575)
+        dis2 = jnp.where(
+            inside,
+            jnp.minimum(jnp.minimum(d2u[0], d2u[1]), d2u[2]),
+            jnp.minimum(jnp.minimum(d2c[0], d2c[1]), d2c[2]))
         cull = (~inside) & (dis2 >= thr)
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
         sign = jnp.where(inside, 1.0, -1.0)
@@ -312,7 +354,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
 
         need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
                     and cfg.texture_type == C.TEXTURE_VERTEX)
-        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn)
+        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
+                       fwd_only=True)
         frag = q['frag']
 
         # -- alpha (cu:791-801)

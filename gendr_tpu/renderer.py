@@ -46,6 +46,7 @@ class GenDR:
                  #
                  backend='xla',
                  face_chunk=128,
+                 pixel_tile=256,
                  ):
         if aggr_rgb_func not in ['hard', 'softmax', 0, 1]:
             raise ValueError(
@@ -79,6 +80,7 @@ class GenDR:
 
         self.backend = backend
         self.face_chunk = face_chunk
+        self.pixel_tile = pixel_tile
 
     def __call__(self, mesh):
         return self.forward_tensors(mesh.face_vertices, mesh.face_textures)
@@ -109,6 +111,7 @@ class GenDR:
             texture_type=self.texture_type,
             backend=self.backend,
             face_chunk=self.face_chunk,
+            pixel_tile=self.pixel_tile,
         )
         if self.anti_aliasing:
             images = _avg_pool2(images)
