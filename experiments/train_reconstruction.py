@@ -292,6 +292,9 @@ def main():
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--backend', type=str, default=None)
     parser.add_argument('--checkpoint-dir', type=str, default=None)
+    parser.add_argument('--data-parallel', action='store_true',
+                        help='shard the batch over all devices (dp mesh); '
+                             'XLA inserts the gradient all-reduce')
     parser.add_argument('--quick', action='store_true')
     args = parser.parse_args()
 
@@ -451,6 +454,21 @@ def main():
             os.path.abspath(args.checkpoint_dir),
             options=ocp.CheckpointManagerOptions(max_to_keep=3))
 
+    shard = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from gendr_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh({'dp': len(jax.devices())})
+        dp_sharding = NamedSharding(mesh, P('dp'))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        def shard(x):
+            return jax.device_put(jnp.asarray(x), dp_sharding)
+        print(f'data-parallel over {len(jax.devices())} devices')
+
     np_rng = np.random.RandomState(args.seed)
     losses = []
     t0 = time.time()
@@ -462,10 +480,10 @@ def main():
 
         ia, ib, ea, eb = dataset_train.get_random_batch(np_rng,
                                                         args.batch_size)
+        put = shard if shard is not None else jnp.asarray
         params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, jnp.asarray(ia),
-            jnp.asarray(ib), jnp.asarray(ea), jnp.asarray(eb),
-            jnp.float32(dist_scale), jnp.float32(lr_scale))
+            params, batch_stats, opt_state, put(ia), put(ib), put(ea),
+            put(eb), jnp.float32(dist_scale), jnp.float32(lr_scale))
         losses.append(float(loss))
 
         if i % args.print_freq == 0:
