@@ -225,6 +225,11 @@ def main():
             sigmas = np.logspace(-1, -7, 7)
 
         best = [None, None, 1e10]
+        # warm up the jitted steps so compile time stays out of the metric
+        saved_ni = args.num_iterations
+        args.num_iterations = 1
+        execute_setting(lrs[0], sigmas[0], eyes, targets)
+        args.num_iterations = saved_ni
         t0 = time.time()
         n_runs = 0
         for lr in lrs:

@@ -23,11 +23,27 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-from jax.scipy.special import erfc
 
 from gendr_tpu import config as C
 
 _PI = math.pi
+
+
+def erfc(x):
+    """Complementary error function, Abramowitz & Stegun 7.1.26 rational
+    approximation (|eps| <= 1.5e-7 — below fp32 noise for the CDF range).
+
+    jax.scipy.special.erfc has no Mosaic lowering, and using one
+    implementation everywhere keeps forward/backward coverage recomputation
+    bit-identical across backends.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = poly * jnp.exp(jnp.minimum(-ax * ax, 0.0))
+    return jnp.where(x >= 0, e, 2.0 - e)
 
 
 def _safe_exp(x):
@@ -35,10 +51,40 @@ def _safe_exp(x):
     return jnp.exp(jnp.clip(x, -87.0, 87.0))
 
 
-def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
+def arctan(x):
+    """Cephes-style atanf (range reduction + degree-7 odd polynomial,
+    ~1 ulp fp32) — the same algorithm class as the CUDA ``atanf`` the
+    reference's cauchy CDF calls (cu:258); jnp.arctan has no Mosaic
+    lowering."""
+    x = jnp.asarray(x, jnp.float32)
+    sgn = jnp.where(x < 0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095    # tan(3*pi/8)
+    mid = (ax > 0.4142135623730950) & (~big)  # tan(pi/8)
+    x1 = jnp.where(big, -1.0 / jnp.maximum(ax, 1e-30),
+                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    y0 = jnp.where(big, _PI / 2, jnp.where(mid, _PI / 4, 0.0))
+    z = x1 * x1
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    return sgn * (y0 + x1 + x1 * z * p)
+
+
+def arcsin(x):
+    """arcsin via arctan(x / sqrt(1 - x^2)) (clamped input)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    den = jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    out = arctan(x / den)
+    return jnp.where(jnp.abs(x) >= 1.0, jnp.sign(x) * (_PI / 2), out)
+
+
+def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
+        gamma_inv1=None):
     """CDF of the selected distribution evaluated at sign*x with scale tau.
 
     Matches ``sigmoid_forward_cuda`` (cu:242-363) branch by branch.
+    ``gamma_inv1`` optionally supplies 1/Gamma(shape+1) precomputed outside
+    (lgamma has no Mosaic lowering inside Pallas kernels).
     """
     sign = jnp.asarray(sign, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
@@ -51,7 +97,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
         return 1.0 / (1.0 + _safe_exp(-u))
 
     if dist_func == C.CAUCHY:
-        return jnp.arctan(u) / _PI + 0.5
+        return arctan(u) / _PI + 0.5
 
     if dist_func == C.RECIPROCAL:
         # cu:261 — note denominator uses x (non-negative), not sign*x
@@ -65,7 +111,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
         return jnp.clip(0.5 * u + 0.5, 0.0, 1.0)
 
     if dist_func == C.GUDERMANNIAN:
-        return jnp.arctan(jnp.tanh(u / 2.0)) * 2.0 / _PI + 0.5
+        return arctan(jnp.tanh(u / 2.0)) * 2.0 / _PI + 0.5
 
     if dist_func == C.CUBIC_HERMITE:
         y = jnp.clip(0.5 * u + 0.5, 0.0, 1.0)
@@ -76,13 +122,14 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
         return 0.5 * erfc(-u / math.sqrt(2.0))
 
     if dist_func in (C.GAMMA, C.GAMMA_REV):
-        return _gamma_cdf(dist_func, sign, x, scale, shape, shift)
+        return _gamma_cdf(dist_func, sign, x, scale, shape, shift,
+                          gamma_inv1)
 
     if dist_func == C.WIGNER_SEMICIRCLE:
         # cu:320-327; in-branch |x| < scale so the sqrt argument is >= 0
         sq = jnp.sqrt(jnp.maximum(scale * scale - x * x, 0.0))
         mid = 0.5 + (sign * x * sq) / (_PI * scale * scale) \
-            + jnp.arcsin(jnp.clip(u, -1.0, 1.0)) / _PI
+            + arcsin(jnp.clip(u, -1.0, 1.0)) / _PI
         return jnp.where(u < -1.0, 0.0, jnp.where(u < 1.0, mid, 1.0))
 
     if dist_func == C.GUMBEL_MAX:
@@ -119,7 +166,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
     raise ValueError(f'unknown dist_func id: {dist_func}')
 
 
-def _gamma_cdf(dist_func, sign, x, scale, shape, shift):
+def _gamma_cdf(dist_func, sign, x, scale, shape, shift, gamma_inv1=None):
     """Regularized lower incomplete gamma via the same 32-term Kummer
     (confluent hypergeometric) series as the reference (cu:295-318):
 
@@ -136,7 +183,8 @@ def _gamma_cdf(dist_func, sign, x, scale, shape, shift):
 
     shape = jnp.asarray(shape, jnp.float32)
     # 1 / Gamma(p+1) = exp(-lgamma(p+1)); p >= 0 enforced by caller
-    inv_gamma_p1 = jnp.exp(-_lgamma(shape + 1.0))
+    inv_gamma_p1 = jnp.exp(-_lgamma(shape + 1.0)) if gamma_inv1 is None \
+        else jnp.asarray(gamma_inv1, jnp.float32)
     kummers = inv_gamma_p1
     factor = inv_gamma_p1
     for i in range(1, C.NUM_STEPS_GAMMA):
@@ -155,10 +203,12 @@ def _lgamma(v):
     return lax.lgamma(jnp.asarray(v, jnp.float32))
 
 
-def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
+def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
+        gamma_inv=None):
     """Derivative of ``cdf`` w.r.t. (sign*x) — ``sigmoid_backward_cuda``
     (cu:366-459) branch by branch, including its asymmetries (several PDFs
-    ignore ``sign`` because the kernel always calls with x >= 0)."""
+    ignore ``sign`` because the kernel always calls with x >= 0).
+    ``gamma_inv`` optionally supplies 1/Gamma(shape) precomputed outside."""
     sign = jnp.asarray(sign, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
     u = sign * x / scale
@@ -183,7 +233,9 @@ def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
         return jnp.where((u > -1.0) & (u < 1.0), 0.5 / scale, 0.0)
 
     if dist_func == C.GUDERMANNIAN:
-        return 1.0 / jnp.cosh(jnp.clip(u, -87.0, 87.0)) / _PI / scale
+        # sech(u) without jnp.cosh (no Mosaic lowering)
+        eu = _safe_exp(u)
+        return 2.0 / (eu + 1.0 / eu) / _PI / scale
 
     if dist_func == C.CUBIC_HERMITE:
         inside = (u >= -1.0) & (u <= 1.0)
@@ -203,7 +255,12 @@ def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0):
             zero_out = xs <= 0.0
         xs_safe = jnp.maximum(xs, 1e-30)
         shape_arr = jnp.asarray(shape, jnp.float32)
-        log_pdf = (-_lgamma(shape_arr)
+        if gamma_inv is None:
+            log_inv_gamma = -_lgamma(shape_arr)
+        else:
+            log_inv_gamma = jnp.log(jnp.maximum(
+                jnp.asarray(gamma_inv, jnp.float32), 1e-30))
+        log_pdf = (log_inv_gamma
                    - shape_arr * jnp.log(jnp.asarray(scale, jnp.float32))
                    + (shape_arr - 1.0) * jnp.log(xs_safe)
                    - xs_safe / scale)

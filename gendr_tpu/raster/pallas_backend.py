@@ -44,9 +44,9 @@ BIG_DEPTH = X.BIG_DEPTH
 NPIXC = 16  # padded pixel-column count for the backward kernel's DMA slabs
 
 # parameter-vector slots (SMEM scalar prefetch)
-P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR = \
-    range(9)
-NPAR = 9
+(P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
+ P_GINV1, P_GINV) = range(11)
+NPAR = 11
 
 
 def _params_vec(params: Dict):
@@ -60,6 +60,11 @@ def _params_vec(params: Dict):
         jnp.asarray(params['aggr_rgb_gamma'], jnp.float32),
         jnp.asarray(params['near'], jnp.float32),
         jnp.asarray(params['far'], jnp.float32),
+        # gamma normalizers precomputed outside (no lgamma in Mosaic)
+        jnp.exp(-jax.lax.lgamma(
+            jnp.asarray(params['dist_shape'], jnp.float32) + 1.0)),
+        jnp.exp(-jax.lax.lgamma(jnp.maximum(
+            jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
     ])
 
 
@@ -169,7 +174,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, cull=cull)
     else:
         tvs, dxu, dyu, d2u, dxc, dyc, tvcs, d2c = \
@@ -240,7 +245,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
                  tv=tv_sel, ksel=ksel, cull=cull)
 
@@ -725,7 +730,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                   for j in range(3)]
 
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'], par[P_SCALE],
-                      par[P_SHAPE], par[P_SHIFT])
+                      par[P_SHAPE], par[P_SHIFT], gamma_inv=par[P_GINV])
         c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
         # closest-point weights tw from the selected edge (tv, ksel)

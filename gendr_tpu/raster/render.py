@@ -107,6 +107,22 @@ def render(
     if isinstance(dist_eps, (int, float)):
         assert dist_eps >= 1, dist_eps
 
+    # t-conorm parameter domains: the reference kernels printf + emit NaN at
+    # runtime (cu:491-556); static values are validated eagerly here instead
+    if aggr_alpha_t_conorm_p is None or isinstance(aggr_alpha_t_conorm_p,
+                                                    (int, float)):
+        p_val = float(aggr_alpha_t_conorm_p or 0.0)
+        tid = cfg.aggr_alpha_func
+        bad = ((tid == C.HAMACHER_TCN and p_val < 0)
+               or (tid == C.FRANK_TCN and (p_val <= 0 or p_val == 1))
+               or (tid in (C.YAGER_TCN, C.ACZEL_ALSINA_TCN, C.DOMBI_TCN)
+                   and p_val <= 0)
+               or (tid == C.SCHWEIZER_SKLAR_TCN and p_val >= 0))
+        if bad:
+            raise ValueError(
+                f'invalid t-conorm parameter p={p_val} for '
+                f'aggr_alpha_func id {tid}')
+
     face_vertices = jnp.asarray(face_vertices, jnp.float32)
     if face_vertices.ndim == 4:
         face_vertices = face_vertices.reshape(
