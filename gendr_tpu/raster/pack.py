@@ -33,6 +33,21 @@ import jax.numpy as jnp
 
 from gendr_tpu import config as C
 
+NI_BASE = 48
+
+
+def num_rows(texture_type, TS):
+    """Packed row count for a texture configuration (8-aligned).
+
+    Surface textures contribute 3*TS texel-color rows (45..); vertex
+    textures contribute 9 rows.
+    """
+    tex_rows = 9 if texture_type == C.TEXTURE_VERTEX else 3 * TS
+    n = 45 + tex_rows
+    return -(-n // 8) * 8
+
+
+# minimal layout (TS=1 surface / legacy callers)
 NI = 56
 
 # row indices (see module docstring)
@@ -52,10 +67,12 @@ R_TEX = 45
 def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
     """face_vertices: [B, F', 9]; textures: [B, F', TS, 3]; fvalid: [F'].
 
-    Returns [B, NI, F'] float32.
+    Returns [B, num_rows(...), F'] float32.
     """
     f = face_vertices
     B, Fp = f.shape[:2]
+    TS = textures.shape[2]
+    NI = num_rows(cfg.texture_type, TS)
     x0, y0, z0 = f[..., 0], f[..., 1], f[..., 2]
     x1, y1, z1 = f[..., 3], f[..., 4], f[..., 5]
     x2, y2, z2 = f[..., 6], f[..., 7], f[..., 8]
@@ -133,8 +150,9 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
             for c in range(3):
                 rows[R_TEX + 3 * j + c] = textures[:, :, j, c]
     else:
-        for c in range(3):
-            rows[R_TEX + c] = textures[:, :, 0, c]
+        for t in range(TS):
+            for c in range(3):
+                rows[R_TEX + 3 * t + c] = textures[:, :, t, c]
 
     zero = jnp.zeros((B, Fp), jnp.float32)
     rows = [zero if r is None else r for r in rows]

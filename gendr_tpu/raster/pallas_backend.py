@@ -276,13 +276,37 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     return q
 
 
-def _colors(row, q, cfg: C.RenderConfig):
-    """Per-pair colors for in-kernel softmax RGB (TS=1 / vertex)."""
+def _colors(row, q, cfg: C.RenderConfig, TS=1):
+    """Per-pair colors for in-kernel RGB (forward_sample_texture,
+    cu:175-191): vertex = barycentric blend; surface = folded R x R texel
+    grid, selected by a one-hot sum over the packed texel rows (TS is small;
+    Mosaic has no per-lane gather)."""
     if cfg.texture_type == C.TEXTURE_VERTEX:
         w = q['wcn']
         return [w[0] * row(pack.R_TEX + c) + w[1] * row(pack.R_TEX + 3 + c)
                 + w[2] * row(pack.R_TEX + 6 + c) for c in range(3)]
-    return [row(pack.R_TEX + c) for c in range(3)]
+    if TS == 1:
+        return [row(pack.R_TEX + c) for c in range(3)]
+    ti = _texel_index(q, TS)
+    cols = [jnp.zeros_like(q['frag']) for _ in range(3)]
+    for t in range(TS):
+        m = ti == t
+        for c in range(3):
+            cols[c] = jnp.where(m, row(pack.R_TEX + 3 * t + c), cols[c])
+    return cols
+
+
+def _texel_index(q, TS):
+    """surface_texel_index (cu:178-185) on the (TP, FC) tile."""
+    R = int(round(TS ** 0.5))
+    w0, w1 = q['wcn'][0], q['wcn'][1]
+    w_x = jnp.floor(w0 * R).astype(jnp.int32)
+    w_y = jnp.floor(w1 * R).astype(jnp.int32)
+    lower = (w0 + w1) * R - w_x.astype(jnp.float32) \
+        - w_y.astype(jnp.float32) <= 1.0
+    idx = jnp.where(lower, w_y * R + w_x,
+                    (R - 1 - w_y) * R + (R - 1 - w_x))
+    return jnp.clip(idx, 0, TS - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +320,7 @@ NO_F = 8
 
 def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                 buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC, is_,
-                T_tiles, K, tile_w, tile_h, tx_n):
+                T_tiles, K, tile_w, tile_h, tx_n, TS):
     """One program per pixel tile; in-kernel loop over the tile's compacted
     hit-chunk list with double-buffered HBM->VMEM DMA (misses are never
     touched — the TPU-native replacement for the reference's per-thread
@@ -357,8 +381,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
-        need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
-                    and cfg.texture_type == C.TEXTURE_VERTEX)
+        need_wcn = (cfg.texture_type == C.TEXTURE_VERTEX
+                    or TS > 1)
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
                        fwd_only=True)
         frag = q['frag']
@@ -401,8 +425,11 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                 w2n = 1.0 - w0n - w1n
                 color = [w0n * tj[0][c] + w1n * tj[1][c] + w2n * tj[2][c]
                          for c in range(3)]
-            else:
+            elif TS == 1:
                 color = [wsel(row(pack.R_TEX + c)) for c in range(3)]
+            else:
+                cols = _colors(row, q, cfg, TS)
+                color = [wsel(cols[c]) for c in range(3)]
             better = (zmin < acc_ref[:, 1:2]) & (isel < FC)
             acc_ref[:, 1:2] = jnp.where(better, zmin, acc_ref[:, 1:2])
             acc_ref[:, 2:3] = jnp.where(
@@ -428,7 +455,7 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
             acc_ref[:, 1:2] = acc_ref[:, 1:2] * scale_old \
                 + jnp.sum(wexp, axis=1, keepdims=True)
             acc_ref[:, 2:3] = m_new
-            cols = _colors(row, q, cfg)
+            cols = _colors(row, q, cfg, TS)
             for c in range(3):
                 acc_ref[:, 5 + c:6 + c] = \
                     acc_ref[:, 5 + c:6 + c] * scale_old \
@@ -440,8 +467,9 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
 
 
 def _xla_fallback(cfg, textures):
-    """TS>1 surface textures need per-pair texel gathers; route to XLA."""
-    return cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 1
+    """Very high-res surface textures (R > 6) would need > 108 one-hot
+    texel selections per pair; route those to the XLA backend."""
+    return cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 36
 
 
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict):
@@ -492,12 +520,13 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
     packed, perm = aux['packed'], aux['perm']
     tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
     Fp = packed.shape[2]
+    NI = packed.shape[1]
     K = Fp // FC
     par = _params_vec(params)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, tile_w=tile_w,
-                               tile_h=tile_h, tx_n=tx_n)
+                               tile_h=tile_h, tx_n=tx_n, TS=TS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, T_tiles),
@@ -507,7 +536,7 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
         out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, *_: (b, t, 0)),
         scratch_shapes=[
             pltpu.VMEM((TP, NO_F), jnp.float32),
-            pltpu.VMEM((2, pack.NI, FC), jnp.float32),
+            pltpu.VMEM((2, NI, FC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -616,13 +645,13 @@ def _pick_tile2d(is_, want):
 # ---------------------------------------------------------------------------
 
 # bwd per-face output columns: 9 vertex grads + texture grads
-def _n_tex_cols(cfg):
-    return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3
+def _n_tex_cols(cfg, TS=1):
+    return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3 * TS
 
 
 def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 acc_ref, buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC,
-                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n):
+                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS):
     """One program per face chunk; in-kernel loop over the chunk's compacted
     hit-tile list, double-buffering the pixel-space columns HBM->VMEM.
     Gradients accumulate in VMEM — deterministic, no atomics
@@ -687,7 +716,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             return pix_t[:, i:i + 1]
 
         need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
-                    or cfg.texture_type == C.TEXTURE_VERTEX)
+                    or cfg.texture_type == C.TEXTURE_VERTEX or TS > 1)
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn)
         frag, valid = q['frag'], q['valid']
         zmask = valid & q['zvalid']
@@ -714,7 +743,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 cmask,
                 frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
                                 - pcolm(9)) / gamma) / pcolm(8), 0.0)
-            cols = _colors(row, q, cfg)
+            cols = _colors(row, q, cfg, TS)
             c_xyz = (pcolm(0) * (cols[0] - pcolm(4))
                      + pcolm(1) * (cols[1] - pcolm(5))
                      + pcolm(2) * (cols[2] - pcolm(6))) * zp_softmax
@@ -762,9 +791,18 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 for c in range(3):
                     updates.append(jnp.sum(q['wcn'][j] * gtex_coef[c],
                                            axis=0))
-        else:
+        elif TS == 1:
             for c in range(3):
                 updates.append(jnp.sum(gtex_coef[c], axis=0))
+        else:
+            # route to the sampled texel (backward_sample_texture,
+            # cu:197-207)
+            ti = _texel_index(q, TS)
+            for t in range(TS):
+                m = ti == t
+                for c in range(3):
+                    updates.append(jnp.sum(
+                        jnp.where(m, gtex_coef[c], 0.0), axis=0))
         acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=1)
         return 0
 
@@ -809,6 +847,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     packed, perm = aux['packed'], aux['perm']
     chunk_counts, chunk_ids = aux['chunk_counts'], aux['chunk_ids']
     Fp = packed.shape[2]
+    NI = packed.shape[1]
     K = Fp // FC
     iperm = jnp.argsort(perm, axis=1)  # orig face id -> sorted position
     par = _params_vec(params)
@@ -826,15 +865,16 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     # sublane dim of the DMA'd slab must be a multiple of 8
     pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - 10), (0, 0)))
 
-    NO_B = 9 + _n_tex_cols(cfg)
+    NO_B = 9 + _n_tex_cols(cfg, TS)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, NO_B=NO_B,
-                               tile_w=tile_w, tile_h=tile_h, tx_n=tx_n)
+                               tile_w=tile_w, tile_h=tile_h, tx_n=tx_n,
+                               TS=TS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, K),
         in_specs=[
-            pl.BlockSpec((1, pack.NI, FC), lambda b, k, *_: (b, 0, k)),
+            pl.BlockSpec((1, NI, FC), lambda b, k, *_: (b, 0, k)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # pix cols stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, FC, NO_B),
@@ -860,5 +900,5 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     if cfg.texture_type == C.TEXTURE_VERTEX:
         grad_tex = out[..., 9:18].reshape(B, F, 3, 3)
     else:
-        grad_tex = out[..., 9:12].reshape(B, F, 1, 3)
+        grad_tex = out[..., 9:9 + 3 * TS].reshape(B, F, TS, 3)
     return grad_faces, grad_tex

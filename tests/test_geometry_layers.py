@@ -157,3 +157,39 @@ class TestLosses:
         l1 = float(fl(jnp.asarray(v)[None])[0])
         l2 = float(fl(jnp.asarray(v)[None] * 3.0)[0])
         np.testing.assert_allclose(l1, l2, rtol=1e-3)
+
+
+class TestLookAndProjectionClasses:
+    def test_look_function_defaults(self):
+        # reference's look() crashes when up is omitted (look.py:38 quirk);
+        # ours defaults up=(0,1,0)
+        v = jnp.asarray(np.random.RandomState(3).randn(1, 6, 3), jnp.float32)
+        out = T.look(v, eye=[0, 0, -2], direction=[0, 0, 1])
+        assert np.isfinite(np.asarray(out)).all()
+        # looking along +z from z=-2: z coords shift by +2
+        np.testing.assert_allclose(np.asarray(out[..., 2]),
+                                   np.asarray(v[..., 2]) + 2, atol=1e-5)
+
+    def test_look_class(self):
+        from gendr_tpu import data as D2
+        v, f = D2.icosphere(1)
+        mesh = Mesh.create(v, f)
+        t = T.Look(camera_direction=[0, 0, 1], eye=[0, 0, -3])
+        out = t(mesh)
+        assert np.isfinite(np.asarray(out.vertices)).all()
+
+    def test_projection_class(self):
+        P = np.zeros((1, 3, 4), np.float32)
+        P[0, 0, 0] = P[0, 1, 1] = P[0, 2, 2] = 1.0
+        from gendr_tpu import data as D2
+        v, f = D2.icosphere(1)
+        mesh = Mesh.create(v * 100 + np.array([256, 256, 3]), f)
+        t = T.Projection(P, orig_size=512)
+        out = t(mesh)
+        o = np.asarray(out.vertices)
+        assert np.isfinite(o).all()
+        assert np.abs(o[..., :2]).max() < 2.0  # roughly NDC
+
+    def test_projection_invalid_matrix(self):
+        with np.testing.assert_raises(ValueError):
+            T.Projection(np.zeros((3, 4), np.float32))

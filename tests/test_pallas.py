@@ -173,3 +173,31 @@ def test_pallas_render_api():
     g_x = jax.grad(lambda v: loss(v, 'xla'))(jnp.asarray(fv))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-4,
                                rtol=2e-3)
+
+
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+def test_pallas_surface_texture_res2(rgb):
+    """R=2 surface textures: in-kernel one-hot texel sampling + per-texel
+    gradient routing vs the XLA backend."""
+    rng = np.random.RandomState(9)
+    fv = jnp.asarray(random_scene(rng, B=1, F=7).reshape(1, 7, 9))
+    tex = jnp.asarray(rng.rand(1, 7, 4, 3).astype(np.float32))
+    cfg = _cfg(dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+                    aggr_rgb_func=rgb))
+    params = params_dict(dist_scale=5e-2)
+    finfo = prep.faces_info(fv)
+    want, _ = X.forward(fv, tex, finfo, cfg, params)
+    got, _ = PB.forward(fv, tex, finfo, cfg, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
+                               rtol=1e-3)
+    soft_p, aggrs_p = PB.forward(fv, tex, finfo, cfg, params)
+    soft_x, aggrs_x = X.forward(fv, tex, finfo, cfg, params)
+    g = jnp.asarray(rng.randn(1, 4, 16, 16).astype(np.float32))
+    want_f, want_t = X.backward(fv, tex, finfo, soft_x, aggrs_x, g, cfg,
+                                params)
+    got_f, got_t = PB.backward(fv, tex, finfo, soft_p, aggrs_p, g, cfg,
+                               params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=5e-4, rtol=5e-3)

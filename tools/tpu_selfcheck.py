@@ -53,14 +53,28 @@ CONFIGS = [
          dist_scale=1e-3),
     dict(dist_func='gamma', dist_shape=2.0, aggr_alpha_func='probabilistic',
          aggr_rgb_func='hard', dist_scale=1e-2),
+    dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='softmax', dist_scale=1e-2, _ts=4),
+    dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='softmax', dist_scale=1e-2, _vertex=True),
 ]
 
 
 def main():
-    fv, tex = scene()
+    fv, tex1 = scene()
     failures = 0
+    rng = np.random.RandomState(42)
     for i, spec in enumerate(CONFIGS):
-        kw = dict(image_size=64, **spec)
+        spec = dict(spec)
+        ts = spec.pop('_ts', 1)
+        vertex = spec.pop('_vertex', False)
+        if vertex:
+            tex = jnp.asarray(rng.rand(*tex1.shape[:2], 3, 3), jnp.float32)
+            kw = dict(image_size=64, texture_type='vertex', **spec)
+        else:
+            tex = tex1 if ts == 1 else jnp.asarray(
+                rng.rand(*tex1.shape[:2], ts, 3), jnp.float32)
+            kw = dict(image_size=64, **spec)
 
         def loss(v, t, backend):
             img = render(v, t, backend=backend, **kw)
