@@ -65,18 +65,25 @@ def main():
 
     grad_fn = jax.grad(loss, argnums=(0, 1))
 
-    # The tunneled TPU backend costs ~1-3 ms per dispatch, so the iteration
-    # loop runs ON DEVICE: one jit executes `iters` chained fwd+bwd steps
-    # (a tiny data dependency keeps the chain alive without changing the
-    # scene).
-    @jax.jit
-    def run(fv_, tex_, eps):
-        def one(carry, _):
-            fv_c = carry
-            gf, gt = grad_fn(fv_c, tex_)
-            return fv_c + eps * gf, None
-        out, _ = jax.lax.scan(one, fv_, None, length=args.iters)
-        return out
+    # The tunneled TPU backend has a LARGE fixed per-dispatch cost (RPC +
+    # result fetch, ~30-80 ms), so (a) the iteration loop runs ON DEVICE —
+    # one jit executes N chained fwd+bwd steps via lax.scan with a tiny
+    # data dependency keeping the chain alive — and (b) the per-frame time
+    # is the DELTA (T(2N) - T(N)) / N, which cancels the fixed dispatch
+    # cost exactly and measures pure device throughput.
+    def make_run(n):
+        @jax.jit
+        def run(fv_, tex_, eps):
+            def one(carry, _):
+                fv_c = carry
+                gf, gt = grad_fn(fv_c, tex_)
+                return fv_c + eps * (gf + gt.sum() * 0), None
+            out, _ = jax.lax.scan(one, fv_, None, length=n)
+            return out
+        return run
+
+    run_n = make_run(args.iters)
+    run_2n = make_run(2 * args.iters)
 
     def sync(x):
         # block_until_ready returns early on the tunneled backend; a host
@@ -85,16 +92,19 @@ def main():
 
     eps = jnp.float32(0.0)
     t0 = time.perf_counter()
-    sync(run(fv, tex, eps))
+    sync(run_n(fv, tex, eps))
+    sync(run_2n(fv, tex, eps))
     print(f'compile+first-run: {time.perf_counter()-t0:.2f}s',
           file=sys.stderr)
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        o = run(fv, tex, eps)
-        sync(o)
-        times.append((time.perf_counter() - t0) / args.iters)
+        sync(run_n(fv, tex, eps))
+        t1 = time.perf_counter()
+        sync(run_2n(fv, tex, eps))
+        t2 = time.perf_counter()
+        times.append(((t2 - t1) - (t1 - t0)) / args.iters)
     dt = float(np.min(times))
     pairs = B * is_ * is_ * F
     mpairs_per_s = pairs / dt / 1e6

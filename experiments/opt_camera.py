@@ -93,12 +93,12 @@ def main():
         dist_shape=args.dist_shape, dist_shift=args.dist_shift,
         dist_eps=args.dist_eps, aggr_alpha_func=args.aggr_func,
         aggr_alpha_t_conorm_p=args.t_conorm_p, aggr_rgb_func='hard',
-        backend=backend)
+        backend=backend, channels='alpha')
     hard_renderer = gendr_tpu.GenDR(
         image_size=args.image_size, dist_func=0, dist_scale=1e-4,
         dist_squared=True, dist_shape=0., dist_shift=0., dist_eps=10,
         aggr_alpha_func=0, aggr_alpha_t_conorm_p=0., aggr_rgb_func='hard',
-        backend=backend)
+        backend=backend, channels='alpha')
 
     mv, mf = load_or_make_mesh(args.model_obj, data_dir)
     base_mesh = gendr_tpu.Mesh.create(mv, mf).repeat(B)

@@ -80,12 +80,14 @@ def build_renderers(args, backend):
         aggr_alpha_t_conorm_p=args.t_conorm_p,
         aggr_rgb_func='hard',
         backend=backend,
+        channels='alpha',  # silhouette-only fast path
     )
     hard_renderer = gendr_tpu.GenDR(
         image_size=args.image_size,
         dist_func=0, dist_scale=1e-4, dist_squared=True, dist_shape=0.,
         dist_shift=0., dist_eps=1, aggr_alpha_func=0,
         aggr_alpha_t_conorm_p=0., aggr_rgb_func='hard', backend=backend,
+        channels='alpha',
     )
     return diff_renderer, hard_renderer
 

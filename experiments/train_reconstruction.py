@@ -342,7 +342,7 @@ def main():
         dist_shape=args.dist_shape, dist_shift=args.dist_shift,
         dist_eps=args.dist_eps, aggr_alpha_func=args.t_conorm,
         aggr_alpha_t_conorm_p=args.t_conorm_p, aggr_rgb_func='hard',
-        backend=backend)
+        backend=backend, channels='alpha')
 
     rng = jax.random.PRNGKey(args.seed)
     enc_vars = encoder.init(rng, jnp.zeros(

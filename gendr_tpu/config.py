@@ -141,12 +141,16 @@ class RenderConfig:
     face_chunk: int = 128
     # pixel tile size for the Pallas kernel
     pixel_tile: int = 256
+    # 'rgba' (reference semantics) or 'alpha' (silhouette-only fast path:
+    # skips depth/RGB work entirely; RGB outputs are the background)
+    channels: str = 'rgba'
 
     @classmethod
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
-               face_chunk=128, pixel_tile=256) -> 'RenderConfig':
+               face_chunk=128, pixel_tile=256,
+               channels='rgba') -> 'RenderConfig':
         return cls(
             image_size=int(image_size),
             dist_func=resolve(dist_func, DIST_FUNC_MAP),
@@ -158,6 +162,7 @@ class RenderConfig:
             backend=backend,
             face_chunk=int(face_chunk),
             pixel_tile=int(pixel_tile),
+            channels=channels,
         )
 
 

@@ -107,7 +107,7 @@ def _alpha_chunk_update(tid, alpha, frag, p):
 
 
 def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
-               fwd_only=False):
+               fwd_only=False, need_depth=True):
     """Shared per-(pixel, face) math on a (TP, FC) tile.
 
     row(i): the i-th packed per-face constant as a (1, FC) array.
@@ -255,6 +255,9 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     q['frag'] = frag
     q['valid'] = valid
 
+    if not need_depth:
+        return q
+
     # clipped barycentrics, depth (cu:807-810)
     wc0 = jnp.clip(w0, 0.0, 1.0)
     wc1 = jnp.clip(w1, 0.0, 1.0)
@@ -381,10 +384,10 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
-        need_wcn = (cfg.texture_type == C.TEXTURE_VERTEX
-                    or TS > 1)
+        need_wcn = (cfg.channels != 'alpha'
+                    and (cfg.texture_type == C.TEXTURE_VERTEX or TS > 1))
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
-                       fwd_only=True)
+                       fwd_only=True, need_depth=cfg.channels != 'alpha')
         frag = q['frag']
 
         # -- alpha (cu:791-801)
@@ -398,7 +401,9 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                                         par[P_TCP])
         acc_ref[:, 0:1] = alpha
 
-        if cfg.aggr_rgb_func == C.RGB_HARD:
+        if cfg.channels == 'alpha':
+            pass  # silhouette-only: depth/RGB skipped entirely
+        elif cfg.aggr_rgb_func == C.RGB_HARD:
             # z-argmin with first-face tie-break (cu:815-822)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
             zm = jnp.where(hmask, q['zp'], jnp.inf)
@@ -715,11 +720,14 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             # pixel-space column i as (TP, 1)
             return pix_t[:, i:i + 1]
 
-        need_wcn = (cfg.aggr_rgb_func == C.RGB_SOFTMAX
-                    or cfg.texture_type == C.TEXTURE_VERTEX or TS > 1)
-        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn)
+        need_wcn = (cfg.channels != 'alpha'
+                    and (cfg.aggr_rgb_func == C.RGB_SOFTMAX
+                         or cfg.texture_type == C.TEXTURE_VERTEX
+                         or TS > 1))
+        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
+                       need_depth=cfg.channels != 'alpha')
         frag, valid = q['frag'], q['valid']
-        zmask = valid & q['zvalid']
+        zmask = valid & q['zvalid'] if cfg.channels != 'alpha' else valid
 
         # pixel columns: 0-3 grad rgba, 4-7 final rgba, 8-9 aggr
         gA = pcolm(3)
@@ -732,7 +740,9 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
         gz = None
         gtex_coef = None
-        if cfg.aggr_rgb_func == C.RGB_HARD:
+        if cfg.channels == 'alpha':
+            gtex_coef = [jnp.zeros_like(frag) for _ in range(3)]
+        elif cfg.aggr_rgb_func == C.RGB_HARD:
             gidx = k * FC + lane
             win = zmask & (pcolm(9).astype(jnp.int32) == gidx)
             gtex_coef = [jnp.where(win, pcolm(c), 0.0) for c in range(3)]

@@ -84,6 +84,7 @@ def render(
     backend='xla',
     face_chunk=128,
     pixel_tile=256,
+    channels='rgba',
 ):
     """Differentiable generalized rasterization.
 
@@ -98,7 +99,7 @@ def render(
         image_size=image_size, dist_func=dist_func, dist_squared=dist_squared,
         aggr_alpha_func=aggr_alpha_func, aggr_rgb_func=aggr_rgb_func,
         double_side=double_side, texture_type=texture_type, backend=backend,
-        face_chunk=face_chunk, pixel_tile=pixel_tile)
+        face_chunk=face_chunk, pixel_tile=pixel_tile, channels=channels)
 
     # dist_scale >= 0 and dist_eps >= 1 (functional/renderer.py:96, 101);
     # static python values are checked eagerly, traced values pass through.

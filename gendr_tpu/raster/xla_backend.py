@@ -191,7 +191,7 @@ def background_carry(B, P, bg, cfg: C.RenderConfig, params: Dict):
     gamma = params['aggr_rgb_gamma']
     smax0 = jnp.full((B, P), 1.0, jnp.float32) * eps
     ssum0 = jnp.full((B, P), 1.0, jnp.float32) * jnp.exp(eps / gamma)
-    if cfg.aggr_rgb_func == C.RGB_SOFTMAX:
+    if cfg.aggr_rgb_func == C.RGB_SOFTMAX and cfg.channels != 'alpha':
         rgb0 = bg * ssum0[..., None]
     else:
         rgb0 = bg
@@ -268,7 +268,9 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
                                 params['aggr_alpha_t_conorm_p'])
 
         # -- RGB aggregation
-        if cfg.aggr_rgb_func == C.RGB_HARD:
+        if cfg.channels == 'alpha':
+            pass  # silhouette-only: depth/RGB skipped entirely
+        elif cfg.aggr_rgb_func == C.RGB_HARD:
             # z-argmin among pixels inside the face (cu:815-822)
             hmask = valid & q['zvalid'] & G.inside_loose(q['w']) \
                 & q['front_ok']
@@ -312,7 +314,10 @@ def finalize(carry, cfg: C.RenderConfig):
     alpha, smax, ssum, rgb, depth_min, fidx = carry
     B = alpha.shape[0]
     is_ = cfg.image_size
-    if cfg.aggr_rgb_func == C.RGB_HARD:
+    if cfg.channels == 'alpha':
+        rgb_final = rgb  # carries the background untouched
+        aggr0, aggr1 = depth_min, fidx.astype(jnp.float32)
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
         rgb_final = rgb
         aggr0, aggr1 = depth_min, fidx.astype(jnp.float32)
     else:
@@ -404,7 +409,9 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
 
         gz = None
         gtex_coef = None  # [B,P,CF,3] per-channel texture-grad coefficient
-        if cfg.aggr_rgb_func == C.RGB_HARD:
+        if cfg.channels == 'alpha':
+            gtex_coef = jnp.zeros(frag.shape + (3,), jnp.float32)
+        elif cfg.aggr_rgb_func == C.RGB_HARD:
             # texture grad only to the winning face (cu:997-1004)
             cf_ids = base + jnp.arange(cf, dtype=jnp.int32)[None, None, :]
             win = zmask & (aggr1[..., None].astype(jnp.int32) == cf_ids)

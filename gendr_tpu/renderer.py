@@ -47,6 +47,7 @@ class GenDR:
                  backend='xla',
                  face_chunk=128,
                  pixel_tile=256,
+                 channels='rgba',
                  ):
         if aggr_rgb_func not in ['hard', 'softmax', 0, 1]:
             raise ValueError(
@@ -81,6 +82,7 @@ class GenDR:
         self.backend = backend
         self.face_chunk = face_chunk
         self.pixel_tile = pixel_tile
+        self.channels = channels
 
     def __call__(self, mesh):
         return self.forward_tensors(mesh.face_vertices, mesh.face_textures)
@@ -112,6 +114,7 @@ class GenDR:
             backend=self.backend,
             face_chunk=self.face_chunk,
             pixel_tile=self.pixel_tile,
+            channels=self.channels,
         )
         if self.anti_aliasing:
             images = _avg_pool2(images)

@@ -201,3 +201,30 @@ def test_pallas_surface_texture_res2(rgb):
                                atol=5e-4, rtol=5e-3)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                atol=5e-4, rtol=5e-3)
+
+
+@pytest.mark.parametrize('backend', ['xla', 'pallas'])
+def test_alpha_only_channels(backend):
+    """channels='alpha' returns the identical alpha channel and background
+    RGB (a documented silhouette fast path, not in the reference)."""
+    from gendr_tpu.raster.render import render
+    rng = np.random.RandomState(6)
+    fv = random_scene(rng, B=1, F=9)
+    tex = np.ones((1, 9, 1, 3), np.float32)
+    kw = dict(image_size=16, dist_func='uniform', dist_scale=5e-2,
+              aggr_rgb_func='hard', face_chunk=8,
+              background_color=(0.3, 0.1, 0.6), backend=backend)
+    full = np.asarray(render(fv, tex, **kw))
+    al = np.asarray(render(fv, tex, channels='alpha', **kw))
+    np.testing.assert_allclose(al[:, 3], full[:, 3], atol=1e-6)
+    np.testing.assert_allclose(al[0, 0], 0.3, atol=1e-6)
+
+    def loss(v, ch):
+        img = render(v, tex, channels=ch, **kw)
+        return jnp.sum(img[:, 3] ** 2)
+
+    g_full = np.asarray(jax.grad(lambda v: loss(v, 'rgba'))(jnp.asarray(fv)))
+    g_al = np.asarray(jax.grad(lambda v: loss(v, 'alpha'))(jnp.asarray(fv)))
+    # grads identical up to fusion-order rounding (z column is zero in
+    # both: hard RGB contributes no z grads)
+    np.testing.assert_allclose(g_al, g_full, atol=1e-5, rtol=1e-4)

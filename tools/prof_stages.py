@@ -1,0 +1,77 @@
+"""Delta timing with proper loop-carried deps for each stage."""
+import sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gendr_tpu import config as C, data
+from gendr_tpu.geometry import core, transforms as T
+from gendr_tpu.raster import pack, pallas_backend as P
+
+v, f = data.icosphere(3)
+B, is_ = 1, 256
+verts = jnp.asarray(v)[None] * 0.9
+eye = T.get_points_from_angles(2.732, 30.0, 45.0)
+verts = T.perspective(T.look_at(verts, eye), 30.0)
+fv = core.face_vertices(verts, jnp.asarray(f)[None]).reshape(B, -1, 9)
+F = fv.shape[1]
+tex = jnp.ones((B, F, 1, 3), jnp.float32)
+
+cfg = C.RenderConfig.create(
+    image_size=is_, dist_func='uniform', dist_squared=False,
+    aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+    double_side=True, texture_type='surface', backend='pallas',
+    face_chunk=128, pixel_tile=256)
+params = dict(
+    dist_scale=jnp.float32(1e-2), dist_shape=jnp.float32(0.0),
+    dist_shift=jnp.float32(0.0), dist_eps=jnp.float32(1e4),
+    aggr_alpha_t_conorm_p=jnp.float32(0.0),
+    aggr_rgb_eps=jnp.float32(1e-3), aggr_rgb_gamma=jnp.float32(1e-3),
+    near=jnp.float32(1), far=jnp.float32(100),
+    background_color=jnp.zeros(3, jnp.float32))
+
+N = 40
+
+def timeit(name, step, x0):
+    # step(x) must actually consume x
+    def make(n):
+        @jax.jit
+        def run(x, eps):
+            def one(carry, _):
+                out = step(carry)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                dep = jnp.asarray(leaf, jnp.float32).ravel()[0]
+                return carry + eps * dep, None
+            out, _ = jax.lax.scan(one, x, None, length=n)
+            return out
+        return run
+    r1, r2 = make(N), make(2 * N)
+    eps = jnp.float32(0.0)
+    np.asarray(r1(x0, eps)).ravel()[:1]
+    np.asarray(r2(x0, eps)).ravel()[:1]
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter(); np.asarray(r1(x0, eps)).ravel()[:1]
+        t1 = time.perf_counter(); np.asarray(r2(x0, eps)).ravel()[:1]
+        t2 = time.perf_counter()
+        d = ((t2 - t1) - (t1 - t0)) / N
+        best = min(best, d)
+    print(f'{name:44s} {best*1e3:8.3f} ms', file=sys.stderr)
+
+aux0 = jax.jit(lambda a, b: P._prepass(a, b, cfg, params))(fv, tex)
+soft0, aggrs0, _ = jax.jit(
+    lambda a, b: P.forward_with_aux(a, b, cfg, params))(fv, tex)
+g0 = jnp.ones_like(soft0)
+
+# backward with a real dep: scale g by carry element
+def bwd_step(g):
+    return P.backward_from_aux(fv, tex, aux0, soft0, aggrs0, g, cfg, params)
+timeit('backward (g carried)', bwd_step, g0)
+
+# prepass with real dep on fv
+timeit('prepass (fv carried)',
+       lambda fv_: P._prepass(fv_, tex, cfg, params)['packed'], fv)
+
+# fwd kernel+epi, aux recomputed from carried fv
+timeit('forward_with_aux (fv carried)',
+       lambda fv_: P.forward_with_aux(fv_, tex, cfg, params)[0], fv)
