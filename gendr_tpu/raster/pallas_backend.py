@@ -92,8 +92,9 @@ def _alpha_chunk_update(tid, alpha, frag, p):
         return jnp.maximum(alpha,
                            jnp.max(frag, axis=1, keepdims=True))
     if tid == C.PROBABILISTIC_TCN:
-        # prod(1-b) in log space (Mosaic has no reduce_prod); frag == 1
-        # gives log1p(-1) = -inf -> keep = 0, which is the correct limit
+        # prod(1-b) in log space (Mosaic has no reduce_prod; a roll-butterfly
+        # product measures ~25% slower end-to-end — lane rolls are costly);
+        # frag == 1 gives log1p(-1) = -inf -> keep = 0, the correct limit
         keep = jnp.exp(jnp.sum(jnp.log1p(-frag), axis=1, keepdims=True))
         return 1.0 - (1.0 - alpha) * keep
     if tid == C.EINSTEIN_TCN:
@@ -116,13 +117,12 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     three per-pair normalization divides when the caller only needs the
     winner's normalized barycentrics (computed select-then-divide).
     """
+    # NOTE: the reference's per-pixel bbox cull (cu:747, margin sqrt(thr))
+    # is subsumed by the distance cull below: outside bbox+sqrt(thr) implies
+    # dis >= dist-to-bbox >= sqrt(thr) and outside the face, i.e. exactly
+    # the (~inside) & (dis2 >= thr) condition (cu:769).  It is a GPU
+    # fast-path, not extra semantics, so the TPU kernel skips it.
     thr = par[P_THR]
-    mrg = jnp.sqrt(thr)
-
-    border_out = ((xp > row(pack.R_BBOX + 1) + mrg)
-                  | (xp < row(pack.R_BBOX + 0) - mrg)
-                  | (yp > row(pack.R_BBOX + 3) + mrg)
-                  | (yp < row(pack.R_BBOX + 2) - mrg))
 
     w0 = row(pack.R_INV + 0) * xp + row(pack.R_INV + 1) * yp \
         + row(pack.R_INV + 2)
@@ -131,13 +131,12 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
         + row(pack.R_INV + 8)
 
-    inside = ((w0 > 0) & (w1 > 0) & (w2 > 0)
-              & (w0 < 1) & (w1 < 1) & (w2 < 1))
-    in_loose = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
-                & (w2 >= 0) & (w2 <= 1))
+    wmin = jnp.minimum(jnp.minimum(w0, w1), w2)
+    wmax = jnp.maximum(jnp.maximum(w0, w1), w2)
+    inside = (wmin > 0) & (wmax < 1)
+    in_loose = (wmin >= 0) & (wmax <= 1)
 
-    q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose,
-             border_out=border_out)
+    q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose)
 
     if cfg.dist_func == C.HEAVISIDE:
         frag = jnp.where(in_loose, 1.0, 0.0)
@@ -249,8 +248,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
                  tv=tv_sel, ksel=ksel, cull=cull)
 
-    valid = (~q['border_out']) & (~q['cull']) & (frag > 1e-6) \
-        & (row(pack.R_FVALID) > 0)
+    valid = (~q['cull']) & (frag > 1e-6) & (row(pack.R_FVALID) > 0)
     frag = jnp.where(valid, frag, 0.0)
     q['frag'] = frag
     q['valid'] = valid
@@ -258,20 +256,34 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     if not need_depth:
         return q
 
-    # clipped barycentrics, depth (cu:807-810)
-    wc0 = jnp.clip(w0, 0.0, 1.0)
-    wc1 = jnp.clip(w1, 0.0, 1.0)
-    wc2 = jnp.clip(w2, 0.0, 1.0)
-    s = jnp.maximum(wc0 + wc1 + wc2, 1e-5)
-    denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
-             + wc2 * row(pack.R_IZ + 2))
-    zp = s / denom
-    q['wc_raw'] = (wc0, wc1, wc2)
-    q['wc_sum'] = s
-    if need_wcn:
-        q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
-    q['zp'] = zp
-    q['zvalid'] = (zp >= par[P_NEAR]) & (zp <= par[P_FAR])
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        # Hard-RGB depth fast path: the z-argmin only ranks pixels that are
+        # inside-loose (cu:815-822), where the clipped barycentrics equal
+        # the raw ones and sum to exactly 1, so zp = 1/denom.  The argmin
+        # over zp becomes an argmax over denom and the [near, far] window
+        # becomes denom in [1/far, 1/near] — no per-pair divide, no clips.
+        denom = (w0 * row(pack.R_IZ + 0) + w1 * row(pack.R_IZ + 1)
+                 + w2 * row(pack.R_IZ + 2))
+        q['denom'] = denom
+        q['zvalid'] = (denom >= 1.0 / par[P_FAR]) \
+            & (denom <= 1.0 / par[P_NEAR])
+        if need_wcn:
+            # consumers mask by the (inside-loose) winner, where the raw
+            # barycentrics are already clipped and normalized
+            q['wcn'] = (w0, w1, w2)
+    else:
+        # clipped barycentrics, depth (cu:807-810)
+        wc0 = jnp.clip(w0, 0.0, 1.0)
+        wc1 = jnp.clip(w1, 0.0, 1.0)
+        wc2 = jnp.clip(w2, 0.0, 1.0)
+        s = jnp.maximum(wc0 + wc1 + wc2, 1e-5)
+        denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
+                 + wc2 * row(pack.R_IZ + 2))
+        zp = s / denom
+        if need_wcn:
+            q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
+        q['zp'] = zp
+        q['zvalid'] = (zp >= par[P_NEAR]) & (zp <= par[P_FAR])
     if cfg.double_side:
         q['front_ok'] = jnp.ones_like(valid)
     else:
@@ -404,29 +416,31 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
         if cfg.channels == 'alpha':
             pass  # silhouette-only: depth/RGB skipped entirely
         elif cfg.aggr_rgb_func == C.RGB_HARD:
-            # z-argmin with first-face tie-break (cu:815-822)
+            # z-argmin as a denom argmax (zp = 1/denom for inside-loose
+            # pixels, see _pair_math) with first-face tie-break (cu:815-822)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
-            zm = jnp.where(hmask, q['zp'], jnp.inf)
-            zmin = jnp.min(zm, axis=1, keepdims=True)
-            isel = jnp.min(jnp.where(zm == zmin, lane, FC), axis=1,
-                           keepdims=True)
+            dm = jnp.where(hmask, q['denom'], -jnp.inf)
+            dmax = jnp.max(dm, axis=1, keepdims=True)
+            # the hmask in the tie-break guards the empty case: all-(-inf)
+            # lanes satisfy dm == dmax, and zmin = 1/-inf = -0.0 would pass
+            # the `better` depth test below
+            isel = jnp.min(jnp.where(hmask & (dm == dmax), lane, FC),
+                           axis=1, keepdims=True)
             win = lane == isel
+            zmin = 1.0 / dmax  # (TP, 1): one divide per pixel per chunk
 
             def wsel(x):
                 return jnp.sum(jnp.where(win, x, 0.0), axis=1,
                                keepdims=True)
 
-            # winner barycentrics: select raw, divide once per pixel
-            w0w = wsel(q['wc_raw'][0])
-            w1w = wsel(q['wc_raw'][1])
-            sw = jnp.maximum(wsel(q['wc_sum']), 1e-5)
-            w0n = w0w / sw
-            w1n = w1w / sw
             # winner color sampled in-kernel (the XLA gather epilogue costs
             # ~0.5 ms per 256^2 image)
             if cfg.texture_type == C.TEXTURE_VERTEX:
+                # winner is inside-loose: raw barycentrics are normalized
                 tj = [[wsel(row(pack.R_TEX + 3 * jv + c)) for c in range(3)]
                       for jv in range(3)]
+                w0n = wsel(q['w'][0])
+                w1n = wsel(q['w'][1])
                 w2n = 1.0 - w0n - w1n
                 color = [w0n * tj[0][c] + w1n * tj[1][c] + w2n * tj[2][c]
                          for c in range(3)]
@@ -440,8 +454,6 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
             acc_ref[:, 2:3] = jnp.where(
                 better, (cid * FC + isel).astype(jnp.float32),
                 acc_ref[:, 2:3])
-            acc_ref[:, 3:4] = jnp.where(better, w0n, acc_ref[:, 3:4])
-            acc_ref[:, 4:5] = jnp.where(better, w1n, acc_ref[:, 4:5])
             for c in range(3):
                 acc_ref[:, 5 + c:6 + c] = jnp.where(
                     better, color[c], acc_ref[:, 5 + c:6 + c])

@@ -1,4 +1,5 @@
 """Delta-method timing: per-iter = (T(2N) - T(N)) / N, cancels tunnel fixed cost."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 import jax

@@ -1,4 +1,5 @@
 """Delta timing with proper loop-carried deps for each stage."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 import jax
