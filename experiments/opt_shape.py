@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import math
 import os
 import sys
@@ -114,6 +115,10 @@ def main():
     parser.add_argument('-cr', '--criterion', type=str, default='loss',
                         choices=['loss', 'steps_to_threshold'])
     parser.add_argument('-gif', '--gif', action='store_true')
+    parser.add_argument('--chain', type=int, default=10,
+                        help='iterations chained on-device per dispatch '
+                        '(amortizes host/tunnel latency; 1 = step-by-step; '
+                        'forced to 1 with --gif, which needs every frame)')
     parser.add_argument('--backend', type=str, default=None)
     parser.add_argument('--quick', action='store_true',
                         help='tiny grid for smoke testing')
@@ -167,7 +172,6 @@ def main():
 
     opt = optax.adam(1.0, b1=0.5, b2=0.95)  # lr injected via scale below
 
-    @jax.jit
     def train_step(params, opt_state, eyes, targets, dist_scale, lr):
         (loss, images), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, eyes, targets, dist_scale)
@@ -176,7 +180,6 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, images
 
-    @jax.jit
     def hard_eval(params, eyes, targets):
         verts, faces, _, _ = model(params, eyes.shape[0])
         mesh = gendr_tpu.Mesh.create(verts, faces)
@@ -185,22 +188,51 @@ def main():
         images = hard_renderer(mesh)[:, 3]
         return sil_loss_fn(images, targets)
 
+    train_step_jit = jax.jit(train_step)
+    hard_eval_jit = jax.jit(hard_eval)
+
+    @functools.partial(jax.jit, static_argnames='n')
+    def train_block(params, opt_state, eyes, targets, dist_scale, lr, n):
+        """n chained (train step + hard eval) pairs in one dispatch; the
+        per-step hard losses come back as a vector for the host-side
+        steps-to-threshold bookkeeping."""
+        def one(carry, _):
+            params, opt_state = carry
+            params, opt_state, loss, _ = train_step(
+                params, opt_state, eyes, targets, dist_scale, lr)
+            h = hard_eval(params, eyes, targets)
+            return (params, opt_state), h
+        (params, opt_state), hs = jax.lax.scan(
+            one, (params, opt_state), None, length=n)
+        return params, opt_state, hs
+
     def execute_setting(lr, sigma, eyes, targets, gif_path=None):
         params = model.init_params()
         opt_state = opt.init(params)
         steps_to_threshold = int(1e10)
         hard_loss = 1e10
         writer = GifWriter(gif_path) if gif_path else None
-        for i in range(args.num_iterations):
-            params, opt_state, loss, images = train_step(
-                params, opt_state, eyes, targets,
-                jnp.float32(sigma), jnp.float32(lr))
-            h = float(hard_eval(params, eyes, targets))
-            hard_loss = min(hard_loss, h)
-            if hard_loss < args.loss_threshold:
-                steps_to_threshold = min(i, steps_to_threshold)
-            if writer:
-                writer.append(make_grid(images, targets, 4, 6))
+        chain = 1 if writer else max(1, args.chain)
+        i = 0
+        while i < args.num_iterations:
+            n = min(chain, args.num_iterations - i)
+            if n > 1:
+                params, opt_state, hs = train_block(
+                    params, opt_state, eyes, targets,
+                    jnp.float32(sigma), jnp.float32(lr), n)
+                hs = np.asarray(hs)
+            else:
+                params, opt_state, loss, images = train_step_jit(
+                    params, opt_state, eyes, targets,
+                    jnp.float32(sigma), jnp.float32(lr))
+                hs = np.asarray(hard_eval_jit(params, eyes, targets))[None]
+                if writer:
+                    writer.append(make_grid(images, targets, 4, 6))
+            for j, h in enumerate(hs):
+                hard_loss = min(hard_loss, float(h))
+                if hard_loss < args.loss_threshold:
+                    steps_to_threshold = min(i + j, steps_to_threshold)
+            i += n
         if writer:
             writer.close()
         if args.criterion == 'loss':
@@ -229,7 +261,7 @@ def main():
         best = [None, None, 1e10]
         # warm up the jitted steps so compile time stays out of the metric
         saved_ni = args.num_iterations
-        args.num_iterations = 1
+        args.num_iterations = max(1, args.chain)
         execute_setting(lrs[0], sigmas[0], eyes, targets)
         args.num_iterations = saved_ni
         t0 = time.time()

@@ -484,12 +484,16 @@ def main():
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, put(ia), put(ib), put(ea),
             put(eb), jnp.float32(dist_scale), jnp.float32(lr_scale))
-        losses.append(float(loss))
+        # keep the loss on device: a float() here would block the host on
+        # every step and serialize dispatch with the device (fatal on a
+        # high-latency link); values are fetched lazily at print time
+        losses.append(loss)
 
         if i % args.print_freq == 0:
             dt = time.time() - t0
+            recent = [float(l) for l in losses[-args.print_freq:]]
             print(f'Iter: [{i}/{args.num_iterations}]\t'
-                  f'Loss {np.mean(losses[-args.print_freq:]):.4f}\t'
+                  f'Loss {np.mean(recent):.4f}\t'
                   f'lr {args.learning_rate * lr_scale:.6f}\t'
                   f'sv {dist_scale:.6f}\t'
                   f'({i / dt:.2f} it/s)')
@@ -503,7 +507,7 @@ def main():
                                          batch_stats=batch_stats)))
 
     mean_iou = evaluate(dataset_val, 'Final')
-    return mean_iou, float(np.mean(losses[-10:]))
+    return mean_iou, float(np.mean([float(l) for l in losses[-10:]]))
 
 
 if __name__ == '__main__':

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,7 +71,11 @@ def look_at(vertices, eye, at=(0, 0, 0), up=(0, 1, 0), only_rotate=False):
 
     if not only_rotate:
         vertices = vertices - eye[:, None, :]
-    return jnp.einsum('bnk,bjk->bnj', vertices, r)
+    # HIGHEST: the default TPU matmul precision is bf16, which would
+    # quantize vertex coordinates (~1e-3 relative) and poison every
+    # geometry gradient downstream
+    return jnp.einsum('bnk,bjk->bnj', vertices, r,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def look(vertices, eye, direction=(0, 1, 0), up=(0, 1, 0)):
@@ -92,7 +97,11 @@ def look(vertices, eye, direction=(0, 1, 0), up=(0, 1, 0)):
     r = jnp.stack([x_axis, y_axis, z_axis], axis=1)
 
     vertices = vertices - eye[:, None, :]
-    return jnp.einsum('bnk,bjk->bnj', vertices, r)
+    # HIGHEST: the default TPU matmul precision is bf16, which would
+    # quantize vertex coordinates (~1e-3 relative) and poison every
+    # geometry gradient downstream
+    return jnp.einsum('bnk,bjk->bnj', vertices, r,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def perspective(vertices, angle=30.0):
@@ -131,7 +140,8 @@ def projection(vertices, P, dist_coeffs=None, orig_size=512):
 
     ones = jnp.ones_like(vertices[:, :, :1])
     vh = jnp.concatenate([vertices, ones], axis=-1)  # [B, nv, 4]
-    v = jnp.einsum('bnk,bjk->bnj', vh, P)  # [B, nv, 3]
+    v = jnp.einsum('bnk,bjk->bnj', vh, P,
+                   precision=jax.lax.Precision.HIGHEST)  # [B, nv, 3]
     x, y, z = v[:, :, 0], v[:, :, 1], v[:, :, 2]
     x_ = x / (z + 1e-5)
     y_ = y / (z + 1e-5)

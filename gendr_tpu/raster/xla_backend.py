@@ -300,7 +300,8 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
             colors = _sample_colors(tex, q, cfg)
             ssum = ssum * scale_old + jnp.sum(wexp, axis=-1)
             rgb = rgb * scale_old[..., None] \
-                + jnp.einsum('bpc,bpck->bpk', wexp, colors)
+                + jnp.einsum('bpc,bpck->bpk', wexp, colors,
+             precision=jax.lax.Precision.HIGHEST)
             smax = m_new
 
         return (alpha, smax, ssum, rgb, depth_min, fidx), None
@@ -427,7 +428,8 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                 / aggr0[..., None], 0.0)
             colors = _sample_colors(tex, q, cfg)
             diff = colors - final[:, :, None, :3]  # color_k - final_k
-            c_xyz = jnp.einsum('bpk,bpck->bpc', g[..., :3], diff) \
+            c_xyz = jnp.einsum('bpk,bpck->bpc', g[..., :3], diff,
+            precision=jax.lax.Precision.HIGHEST) \
                 * zp_softmax  # cu:1012-1023
             gtex_coef = zp_softmax[..., None] * g[:, :, None, :3]
             c_grad_xy = c_grad_xy + jnp.where(
@@ -469,7 +471,8 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         # texture gradients (backward_sample_texture, cu:194-214)
         if cfg.texture_type == C.TEXTURE_VERTEX:
             gtex = jnp.stack([
-                jnp.einsum('bpc,bpck->bck', w_clip[j], gtex_coef)
+                jnp.einsum('bpc,bpck->bck', w_clip[j], gtex_coef,
+            precision=jax.lax.Precision.HIGHEST)
                 for j in range(3)], axis=2)  # [B, CF, 3, 3]
         else:
             R = int(round(TS ** 0.5))
@@ -480,7 +483,8 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                 slices = []
                 for t in range(TS):
                     m = (ti == t).astype(gtex_coef.dtype)
-                    slices.append(jnp.einsum('bpc,bpck->bck', m, gtex_coef))
+                    slices.append(jnp.einsum('bpc,bpck->bck', m, gtex_coef,
+            precision=jax.lax.Precision.HIGHEST))
                 gtex = jnp.stack(slices, axis=2)  # [B, CF, TS, 3]
 
         return None, (gface, gtex)
