@@ -227,27 +227,37 @@ class SyntheticShapeNet:
             aggr_rgb_func='hard')
         lighting = gendr_tpu.Lighting()
         transform = gendr_tpu.LookAt(viewing_angle=15)
+        azim = -np.arange(24) * 15.0
+        transform.set_eyes_from_angles(
+            np.full(24, self.distance, np.float32),
+            np.full(24, self.elevation, np.float32),
+            azim.astype(np.float32))
+        faces_b = jnp.asarray(f)[None]
+
+        @jax.jit
+        def make_object(verts):
+            # one dispatch per object: 24 silhouettes + the GT voxel grid
+            mesh = gendr_tpu.Mesh.create(jnp.tile(verts[None], (24, 1, 1)),
+                                         jnp.tile(faces_b, (24, 1, 1)))
+            sil = renderer(transform(lighting(mesh)))[:, 3]
+            fv = core.face_vertices(verts[None], faces_b)
+            vox = voxelize.voxelization(
+                fv * 1.0 * (32 - 1) / 32 + 0.5, 32, False)[0]
+            return sil, vox
+
         images = []
         voxels = []
         for _ in range(n_objects):
             scale = 0.25 + rng.rand(3) * 0.2
-            verts = (v * scale[None, :]).astype(np.float32)
-            mesh = gendr_tpu.Mesh.create(verts, f).repeat(24)
-            azim = -np.arange(24) * 15.0
-            transform.set_eyes_from_angles(
-                np.full(24, self.distance, np.float32),
-                np.full(24, self.elevation, np.float32),
-                azim.astype(np.float32))
-            sil = np.asarray(renderer(transform(lighting(mesh)))[:, 3])
+            verts = jnp.asarray((v * scale[None, :]).astype(np.float32))
+            sil, vox = make_object(verts)
+            sil = np.asarray(sil)
+            vox = np.asarray(vox)
             rgba = np.zeros((24, 4, sil.shape[1], sil.shape[2]),
                             np.float32)
             rgba[:, :3] = sil[:, None]
             rgba[:, 3] = sil
             images.append((rgba * 255).astype(np.uint8))
-            fv = core.face_vertices(jnp.asarray(verts)[None],
-                                    jnp.asarray(f)[None])
-            vox = np.asarray(voxelize.voxelization(
-                fv * 1.0 * (32 - 1) / 32 + 0.5, 32, False))[0]
             voxels.append(vox.transpose(1, 0, 2)[:, :, ::-1])
         self.images = np.concatenate(images, 0).reshape(-1, 4,
                                                         image_size,
@@ -297,6 +307,10 @@ def main():
                              'XLA inserts the gradient all-reduce')
     parser.add_argument('--quick', action='store_true')
     args = parser.parse_args()
+
+    # the encoder's convs/denses would otherwise run in TPU's default bf16
+    # matmul precision; train in f32 like the reference (torch fp32)
+    jax.config.update('jax_default_matmul_precision', 'float32')
 
     if args.dist_scale is None:
         args.dist_scale = default_dist_scale(

@@ -801,21 +801,25 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 jnp.sqrt(q['dis_x'] ** 2 + q['dis_y'] ** 2), 1e-6)
 
         # accumulate per-face grads: reduce over the pixel (sublane) axis
+        # (tried: ones-vector MXU matmul instead — no measurable gain,
+        # Mosaic's native sublane reduction is already efficient)
+        def colsum(x):  # (TP, FC) -> (FC,)
+            return jnp.sum(x, axis=0)
+
         updates = []
         for i in range(3):
-            gx = jnp.sum(coef * tw[i] * q['dis_x'], axis=0)  # (FC,)
-            gy = jnp.sum(coef * tw[i] * q['dis_y'], axis=0)
-            gzi = jnp.sum(gz[i], axis=0) if gz is not None \
+            gx = colsum(coef * tw[i] * q['dis_x'])  # (FC,)
+            gy = colsum(coef * tw[i] * q['dis_y'])
+            gzi = colsum(gz[i]) if gz is not None \
                 else jnp.zeros_like(gx)
             updates += [gx, gy, gzi]
         if cfg.texture_type == C.TEXTURE_VERTEX:
             for j in range(3):
                 for c in range(3):
-                    updates.append(jnp.sum(q['wcn'][j] * gtex_coef[c],
-                                           axis=0))
+                    updates.append(colsum(q['wcn'][j] * gtex_coef[c]))
         elif TS == 1:
             for c in range(3):
-                updates.append(jnp.sum(gtex_coef[c], axis=0))
+                updates.append(colsum(gtex_coef[c]))
         else:
             # route to the sampled texel (backward_sample_texture,
             # cu:197-207)
@@ -823,8 +827,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             for t in range(TS):
                 m = ti == t
                 for c in range(3):
-                    updates.append(jnp.sum(
-                        jnp.where(m, gtex_coef[c], 0.0), axis=0))
+                    updates.append(colsum(
+                        jnp.where(m, gtex_coef[c], 0.0)))
         acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=1)
         return 0
 
