@@ -78,8 +78,9 @@ def main():
     args = parser.parse_args()
 
     if args.quick:
-        args.num_iterations = 50
-        args.batch_size = 16
+        # shrink, but never override an explicitly smaller CLI value
+        args.num_iterations = min(args.num_iterations, 50)
+        args.batch_size = min(args.batch_size, 16)
 
     backend = args.backend or (
         'pallas' if jax.devices()[0].platform == 'tpu' else 'xla')

@@ -306,6 +306,9 @@ def main():
                         help='shard the batch over all devices (dp mesh); '
                              'XLA inserts the gradient all-reduce')
     parser.add_argument('--quick', action='store_true')
+    parser.add_argument('--max-eval-batches', type=int, default=0,
+                        help='cap eval batches per class (0 = no cap); '
+                        '--quick sets 2 unless given explicitly')
     args = parser.parse_args()
 
     # the encoder's convs/denses would otherwise run in TPU's default bf16
@@ -326,11 +329,12 @@ def main():
         args.num_iterations = min(args.num_iterations, 20)
         args.batch_size = min(args.batch_size, 8)
         args.print_freq = 5
-        args.eval_freq = 20
+        args.eval_freq = args.num_iterations  # eval exactly once, at the end
+        args.max_eval_batches = args.max_eval_batches or 2
 
     # ---- data
     if args.synthetic:
-        n_obj = 8 if args.quick else 64
+        n_obj = 4 if args.quick else 64
         dataset_train = SyntheticShapeNet(n_obj, args.image_size,
                                           args.seed)
         dataset_val = dataset_train
@@ -443,8 +447,11 @@ def main():
         iou_all = []
         for class_id, class_name in dataset.class_ids_pair:
             total, count = 0.0, 0
-            for im, vx in dataset.get_all_batches_for_evaluation(
-                    args.batch_size, class_id):
+            for bi, (im, vx) in enumerate(
+                    dataset.get_all_batches_for_evaluation(
+                        args.batch_size, class_id)):
+                if args.max_eval_batches and bi >= args.max_eval_batches:
+                    break
                 pad = args.batch_size - im.shape[0]
                 imp = np.pad(im, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 pred = np.asarray(predict_voxels(

@@ -484,16 +484,23 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
 
 
 def _xla_fallback(cfg, textures):
-    """Very high-res surface textures (R > 6) would need > 108 one-hot
-    texel selections per pair; route those to the XLA backend."""
-    return cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 36
+    """Route to the XLA backend when the pallas kernels can't run this
+    config: very high-res surface textures (R > 6 would need > 108 one-hot
+    texel selections per pair), or an image size with no 128-aligned pixel
+    tiling (Mosaic DMA alignment; only constrains real TPUs)."""
+    if cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 36:
+        return True
+    if not _interpret() and not _tiles_feasible(cfg.image_size,
+                                                cfg.pixel_tile):
+        return True
+    return False
 
 
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict):
     """Sort, pack, and build cull lists once; shared by fwd and bwd."""
     B, F = face_vertices.shape[:2]
     is_ = cfg.image_size
-    FC = cfg.face_chunk
+    FC = _align_fc(cfg.face_chunk)
     tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
                                                  F, FC, cfg)
@@ -526,7 +533,7 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
 
     is_ = cfg.image_size
     P = is_ * is_
-    FC = cfg.face_chunk
+    FC = _align_fc(cfg.face_chunk)
     tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
     TP = tile_w * tile_h
     T_tiles = P // TP
@@ -645,7 +652,13 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg):
 
 def _pick_tile2d(is_, want):
     """2D pixel tiles (tight bboxes in both axes).  Returns (tile_w,
-    tile_h) dividing the image size with tile_w*tile_h <= want."""
+    tile_h) dividing the image size with tile_w*tile_h <= want.
+
+    On real TPUs the backward kernel DMAs a (NPIXC, TP) pixel slab whose
+    minor dim must be 128-aligned, so TP = tile_w*tile_h must be a multiple
+    of 128 (Mosaic rejects it otherwise); ``_tiles_feasible`` gates the
+    pallas path on that.  Interpret mode (tests) has no such constraint but
+    uses the same tiling so CPU tests exercise the TPU configuration."""
     tw = is_
     for cand in (32, 16, 8):
         if is_ % cand == 0 and cand <= is_:
@@ -654,7 +667,29 @@ def _pick_tile2d(is_, want):
     th = max(1, min(want // tw, is_))
     while is_ % th:
         th -= 1
+    if (tw * th) % 128 != 0:
+        # prefer the largest feasible th <= want//tw, then any feasible one
+        cands = [t for t in range(is_, 0, -1)
+                 if is_ % t == 0 and (tw * t) % 128 == 0]
+        if cands:
+            under = [t for t in cands if tw * t <= max(want, 128)]
+            th = under[0] if under else cands[-1]
     return tw, th
+
+
+def _tiles_feasible(is_, want):
+    tw, th = _pick_tile2d(is_, want)
+    return (tw * th) % 128 == 0 and (is_ * is_) % (tw * th) == 0
+
+
+def _align_fc(fc):
+    """Face-chunk size actually used by the kernels: the packed-constants
+    DMA slices the minor (face) dim by FC, which must be 128-aligned on
+    real TPUs.  Interpret mode keeps the requested chunk so CPU tests can
+    exercise multi-chunk logic with small meshes."""
+    if _interpret():
+        return fc
+    return -(-fc // 128) * 128
 
 
 # ---------------------------------------------------------------------------
@@ -862,7 +897,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
 
     is_ = cfg.image_size
     P = is_ * is_
-    FC = cfg.face_chunk
+    FC = _align_fc(cfg.face_chunk)
     tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
     TP = tile_w * tile_h
     T_tiles = P // TP

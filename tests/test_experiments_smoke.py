@@ -22,22 +22,28 @@ def run_script(path, argv):
 
 @pytest.mark.slow
 def test_opt_shape_quick(tmp_path):
+    # procedural 12-face cube target: the smoke test exercises the whole
+    # pipeline; convergence quality is validated on TPU runs
     mod = run_script('experiments/opt_shape.py',
-                     ['--quick', '-ni', '8', '-is', '24',
+                     ['--quick', '-ni', '4', '-is', '24', '--chain', '4',
+                      '--model_obj', 'proc_cube.obj',
                       '--views', '24@0', '--out-dir', str(tmp_path)])
 
 
 @pytest.mark.slow
 def test_opt_camera_quick(tmp_path):
     run_script('experiments/opt_camera.py',
-               ['--quick', '-is', '24', '-ni', '20',
+               ['--quick', '-is', '24', '-ni', '10', '-bs', '4',
+                '--chain', '5', '--model_obj', 'proc_cube.obj',
                 '--out-dir', str(tmp_path)])
 
 
 @pytest.mark.slow
 def test_train_reconstruction_synthetic(tmp_path):
     run_script('experiments/train_reconstruction.py',
-               ['--quick', '--synthetic', '--image_size', '32'])
+               ['--quick', '--synthetic', '--image_size', '32',
+                '--num_iterations', '4', '--batch_size', '4',
+                '--max-eval-batches', '1'])
 
 
 def test_shape_model_parametrization():
