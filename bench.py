@@ -23,7 +23,7 @@ def main():
     ap.add_argument('--backend', default=None,
                     help='xla | pallas (default: pallas on TPU, else xla)')
     ap.add_argument('--image-size', type=int, default=256)
-    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--face-chunk', type=int, default=128)
     ap.add_argument('--pixel-tile', type=int, default=256)
     args = ap.parse_args()

@@ -660,7 +660,7 @@ def _pick_tile2d(is_, want):
     pallas path on that.  Interpret mode (tests) has no such constraint but
     uses the same tiling so CPU tests exercise the TPU configuration."""
     tw = is_
-    for cand in (32, 16, 8):
+    for cand in (16, 32, 8):
         if is_ % cand == 0 and cand <= is_:
             tw = cand
             break
