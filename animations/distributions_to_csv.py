@@ -28,8 +28,8 @@ def sweep(function_id, xs, scale=1.0, param1=-10.0, param2=-10.0,
                param2) for x in xs]
 
 
-def main(out_path='dist_function_values.csv'):
-    xs = np.linspace(-5, 5, 201)
+def main(out_path='dist_function_values.csv', points=201):
+    xs = np.linspace(-5, 5, points)
     results = [xs]
     for name, p in SIGMOID_FUNCTIONS:
         fid = C.DIST_FUNC_MAP[name]
@@ -47,4 +47,9 @@ def main(out_path='dist_function_values.csv'):
 
 
 if __name__ == '__main__':
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', type=str, default='dist_function_values.csv')
+    ap.add_argument('--points', type=int, default=201)
+    a = ap.parse_args()
+    main(a.out, a.points)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument('--resolution', type=int, default=768)
     ap.add_argument('--out-dir', type=str, default='./results/triangles')
     ap.add_argument('--quick', action='store_true')
+    ap.add_argument('--dists', type=int, default=0,
+                    help='limit to the first N distributions (0 = all)')
     ap.add_argument('--backend', type=str, default=None)
     args = ap.parse_args()
 
@@ -43,7 +45,9 @@ def main():
     tex = mesh.face_textures
     import jax.numpy as jnp
 
-    for dist_id, (dist_func, dist_shape) in enumerate(SIGMOID_FUNCTIONS):
+    sweep = SIGMOID_FUNCTIONS[:args.dists] if args.dists \
+        else SIGMOID_FUNCTIONS
+    for dist_id, (dist_func, dist_shape) in enumerate(sweep):
         renderer = gendr_tpu.GenDR(
             image_size=args.resolution, anti_aliasing=True,
             dist_func=dist_func, dist_shape=dist_shape, dist_shift=0.,
