@@ -147,9 +147,11 @@ def main():
     tmesh = gendr_tpu.Mesh.create(tv, tf).repeat(len(all_cameras))
     transform.set_eyes_from_angles(all_cameras[:, 0], all_cameras[:, 1],
                                    all_cameras[:, 2])
-    tmesh = transform(lighting(tmesh))
     print('Generating goals...')
-    all_images = np.asarray(hard_renderer(tmesh)[:, 3])
+    # one jitted dispatch: eager execution would issue every prepass op
+    # separately over the (high-latency) device link
+    all_images = np.asarray(jax.jit(
+        lambda m: hard_renderer(transform(lighting(m)))[:, 3])(tmesh))
     print('done. all_images.shape', all_images.shape)
 
     model = ShapeModel(args.num_vertices)

@@ -64,6 +64,15 @@ def look_at(vertices, eye, at=(0, 0, 0), up=(0, 1, 0), only_rotate=False):
     at = _as_array(at, b)
     up = _as_array(up, b)
 
+    # Defend against mis-executed compile-time constant folding on remote
+    # TPU backends: when eye/vertices are jit-closure constants, the folded
+    # cross-product basis below has been observed to come back corrupted
+    # (z rows exact, x/y rows garbage). The barrier makes the basis math a
+    # runtime computation; it is differentiable and costs nothing next to
+    # the rotation einsum.
+    vertices, eye, at, up = jax.lax.optimization_barrier(
+        (vertices, eye, at, up))
+
     z_axis = _normalize(at - eye)
     x_axis = _normalize(jnp.cross(up, z_axis))
     y_axis = _normalize(jnp.cross(z_axis, x_axis))
@@ -90,6 +99,10 @@ def look(vertices, eye, direction=(0, 1, 0), up=(0, 1, 0)):
     eye = _as_array(eye, b)
     direction = _as_array(direction, b)
     up = _as_array(up, b)
+
+    # see look_at: keep the basis math out of compile-time constant folding
+    vertices, eye, direction, up = jax.lax.optimization_barrier(
+        (vertices, eye, direction, up))
 
     z_axis = _normalize(direction)
     x_axis = _normalize(jnp.cross(up, z_axis))

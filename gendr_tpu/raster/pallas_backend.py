@@ -205,25 +205,17 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         sel1 = (~sel0) & (d2u[1] <= d2u[2])
         kin = jnp.where(sel0, 0, jnp.where(sel1, 1, 2))
 
-        # outside: region decision chain (cu:127-139)
-        dotA = row(pack.R_E + 4) * xp + row(pack.R_E + 5) * yp \
-            + row(pack.R_DOT_OFF + 0)
-        dotB = row(pack.R_E + 0) * xp + row(pack.R_E + 1) * yp \
-            + row(pack.R_DOT_OFF + 1)
-        dotC = row(pack.R_E + 2) * xp + row(pack.R_E + 3) * yp \
-            + row(pack.R_DOT_OFF + 2)
-        c01 = (w1 <= 0) & (w2 <= 0)
-        c12 = (w2 <= 0) & (w0 <= 0)
-        c20 = (w0 <= 0) & (w1 <= 0)
-        vA = jnp.where((row(pack.R_OBT + 0) > 0) & (dotA > 0), 2, 0)
-        vB = jnp.where((row(pack.R_OBT + 1) > 0) & (dotB > 0), 0, 1)
-        vC = jnp.where((row(pack.R_OBT + 2) > 0) & (dotC > 0), 1, 2)
-        vout = jnp.where(
-            c01, vA,
-            jnp.where(c12, vB,
-                      jnp.where(c20, vC,
-                                jnp.where(w0 <= 0, 1,
-                                          jnp.where(w1 <= 0, 2, 0)))))
+        # outside: the reference's region decision chain (cu:127-139, with
+        # obtuse-vertex corrections) exists to FIND the edge whose clamped
+        # segment attains the triangle-boundary distance; a first-minimum
+        # argmin over the three clamped distances selects the same closest
+        # feature with no dot/obtuse algebra.  At corner regions two edges
+        # tie, but both clamp to the SAME corner point (identical dis_x,
+        # dis_y) and route the full weight to the same vertex via tv in
+        # {0, 1}, so gradients are unchanged regardless of which ties wins.
+        sel0c = (d2c[0] <= d2c[1]) & (d2c[0] <= d2c[2])
+        sel1c = (~sel0c) & (d2c[1] <= d2c[2])
+        vout = jnp.where(sel0c, 0, jnp.where(sel1c, 1, 2))
 
         def sel3(idx, c):
             return jnp.where(idx == 0, c[0], jnp.where(idx == 1, c[1], c[2]))

@@ -59,6 +59,26 @@ class TestTransforms:
             out[0, 0, :2],
             [2 * (100 - 256) / 512, 2 * (200 - 256) / 512], atol=1e-3)
 
+    def test_look_at_closure_constant_matches_arg(self):
+        """jit with closure-captured eyes must equal jit with eyes as an
+        argument.  Regression net for a remote-TPU backend bug where the
+        constant-folded rotation-basis subgraph came back corrupted;
+        look_at now routes its inputs through an optimization_barrier."""
+        import jax
+        rng = np.random.RandomState(3)
+        v = jnp.asarray(rng.randn(4, 50, 3) * 0.3, jnp.float32)
+        eyes = jnp.asarray(rng.randn(4, 3) + np.array([0, 0, -3.0]),
+                           jnp.float32)
+        ref = jax.jit(lambda a, e: T.perspective(T.look_at(a, e), 15.0))(
+            v, eyes)
+        got = jax.jit(lambda a: T.perspective(T.look_at(a, eyes), 15.0))(v)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-5)
+        # gradients flow through the barrier
+        g = jax.grad(lambda e: float(0) + jnp.sum(
+            T.look_at(v, e) ** 2))(eyes)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_lookat_class_roundtrip(self):
         v, f = data.icosphere(1)
         mesh = Mesh.create(v, f)

@@ -111,6 +111,26 @@ def main():
               f'grad_agree={gclose:.4f} texgrad_agree={tclose:.4f}',
               flush=True)
         failures += 0 if ok else 1
+
+    # Constant-folding regression (the remote-TPU compile service has been
+    # observed to mis-execute folded cross-product chains): a look_at with
+    # closure-captured eyes must equal the same call with eyes as a jit arg.
+    v0, f0 = data.icosphere(2)
+    vb = jnp.asarray(v0)[None].repeat(24, 0)
+    eyes = T.get_points_from_angles(
+        jnp.full((24,), 2.732), jnp.zeros(24),
+        jnp.asarray(-np.arange(24) * 15.0, jnp.float32))
+    eyes = jnp.asarray(np.asarray(eyes))
+    ref = np.asarray(jax.jit(lambda v, e: T.perspective(
+        T.look_at(v, e), 15.0))(vb, eyes))
+    got = np.asarray(jax.jit(lambda v: T.perspective(
+        T.look_at(v, eyes), 15.0))(vb))
+    cf_err = np.abs(ref - got).max()
+    cf_ok = cf_err < 1e-4
+    print(f'[{"OK  " if cf_ok else "FAIL"}] closure-constant look_at: '
+          f'max_err={cf_err:.2e}', flush=True)
+    failures += 0 if cf_ok else 1
+
     print('selfcheck:', 'PASS' if failures == 0 else f'{failures} FAILURES')
     return failures
 
