@@ -469,11 +469,22 @@ def main():
         return mean_iou
 
     ckpt_mgr = None
+    start_iter = 1
     if args.checkpoint_dir:
         import orbax.checkpoint as ocp
         ckpt_mgr = ocp.CheckpointManager(
             os.path.abspath(args.checkpoint_dir),
             options=ocp.CheckpointManagerOptions(max_to_keep=3))
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            restored = ckpt_mgr.restore(
+                latest, args=ocp.args.StandardRestore(
+                    dict(params=params, batch_stats=batch_stats)))
+            params = restored['params']
+            batch_stats = restored['batch_stats']
+            start_iter = latest + 1
+            print(f'Restored checkpoint at iteration {latest}; '
+                  f'resuming from {start_iter}.')
 
     shard = None
     if args.data_parallel and len(jax.devices()) > 1:
@@ -493,7 +504,7 @@ def main():
     np_rng = np.random.RandomState(args.seed)
     losses = []
     t0 = time.time()
-    for i in range(1, args.num_iterations + 1):
+    for i in range(start_iter, args.num_iterations + 1):
         # lr and dist_scale decay at 150k iterations
         # (train_reconstruction.py:70-84)
         lr_scale = 0.3 if i >= 150000 else 1.0
@@ -522,10 +533,10 @@ def main():
         if i % args.eval_freq == 0:
             evaluate(dataset_val, 'Valid')
             if ckpt_mgr is not None:
-                ckpt_mgr.save(i, args=__import__(
-                    'orbax.checkpoint', fromlist=['args']
-                ).args.StandardSave(dict(params=params,
-                                         batch_stats=batch_stats)))
+                import orbax.checkpoint as ocp
+                ckpt_mgr.save(i, args=ocp.args.StandardSave(
+                    dict(params=params, batch_stats=batch_stats)))
+                ckpt_mgr.wait_until_finished()
 
     mean_iou = evaluate(dataset_val, 'Final')
     return mean_iou, float(np.mean([float(l) for l in losses[-10:]]))

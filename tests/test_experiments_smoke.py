@@ -46,6 +46,23 @@ def test_train_reconstruction_synthetic(tmp_path):
                 '--max-eval-batches', '1'])
 
 
+@pytest.mark.slow
+def test_train_reconstruction_checkpoint_resume(tmp_path):
+    """Checkpoints save at eval_freq and restore on restart (the reference
+    never saves its model; this is the orbax addition)."""
+    ckpt = str(tmp_path / 'ckpt')
+    argv = ['--quick', '--synthetic', '--image_size', '16',
+            '--num_iterations', '4', '--batch_size', '2',
+            '--max-eval-batches', '1', '--checkpoint-dir', ckpt]
+    run_script('experiments/train_reconstruction.py', argv)
+    import os
+    steps = [d for d in os.listdir(ckpt) if d.isdigit()]
+    assert steps, os.listdir(ckpt)
+    # second run restores and resumes past the saved step (no retraining:
+    # start_iter == num_iterations + 1 -> straight to final eval)
+    run_script('experiments/train_reconstruction.py', argv)
+
+
 def test_shape_model_parametrization():
     """The sigmoid reparametrization reproduces the template at zero
     displacement (opt_shape.py:75-87)."""
