@@ -197,6 +197,31 @@ class ShapeNet:
             d, e, -vp_b * 15))
         return images_a, images_b, eyes_a, eyes_b
 
+    def get_random_batch_ids(self, rng, batch_size):
+        """Index-only variant for device-resident data: returns int32 image
+        ids + eyes, so the per-step host->device transfer is ~1 KB instead
+        of ~8 MB of decoded float images."""
+        data_ids_a = np.zeros(batch_size, 'int32')
+        data_ids_b = np.zeros(batch_size, 'int32')
+        vp_a = np.zeros(batch_size, np.float32)
+        vp_b = np.zeros(batch_size, np.float32)
+        for i in range(batch_size):
+            class_id = rng.choice(self.class_ids)
+            object_id = rng.randint(0, self.num_data[class_id])
+            va = rng.randint(0, 24)
+            vb = rng.randint(0, 24)
+            data_ids_a[i] = (object_id + self.pos[class_id]) * 24 + va
+            data_ids_b[i] = (object_id + self.pos[class_id]) * 24 + vb
+            vp_a[i] = va
+            vp_b[i] = vb
+        d = np.full(batch_size, self.distance, np.float32)
+        e = np.full(batch_size, self.elevation, np.float32)
+        eyes_a = np.asarray(gendr_tpu.functional.get_points_from_angles(
+            d, e, -vp_a * 15))
+        eyes_b = np.asarray(gendr_tpu.functional.get_points_from_angles(
+            d, e, -vp_b * 15))
+        return data_ids_a, data_ids_b, eyes_a, eyes_b
+
     def get_all_batches_for_evaluation(self, batch_size, class_id):
         data_ids = np.arange(self.num_data[class_id]) + self.pos[class_id]
         viewpoint_ids = np.tile(np.arange(24), data_ids.size)
@@ -266,6 +291,7 @@ class SyntheticShapeNet:
 
     class_ids_pair = ShapeNet.class_ids_pair
     get_random_batch = ShapeNet.get_random_batch
+    get_random_batch_ids = ShapeNet.get_random_batch_ids
     get_all_batches_for_evaluation = ShapeNet.get_all_batches_for_evaluation
 
 
@@ -306,6 +332,15 @@ def main():
                         help='shard the batch over all devices (dp mesh); '
                              'XLA inserts the gradient all-reduce')
     parser.add_argument('--quick', action='store_true')
+    parser.add_argument('--host-data', action='store_true',
+                        help='keep training images on the host and upload '
+                        'each batch (default: images live on device as '
+                        'uint8 and batches are gathered by index — the '
+                        'per-step transfer drops from ~8 MB to ~1 KB)')
+    parser.add_argument('--chain', type=int, default=0,
+                        help='train steps chained on-device per dispatch '
+                        '(staged batches + lax.scan; amortizes host/link '
+                        'latency). 0 = auto: 8 on TPU, 1 elsewhere')
     parser.add_argument('--max-eval-batches', type=int, default=0,
                         help='cap eval batches per class (0 = no cap); '
                         '--quick sets 2 unless given explicitly')
@@ -420,9 +455,24 @@ def main():
             + args.lambda_flatten * flat
         return loss, new_stats
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, images_a, images_b,
-                   eyes_a, eyes_b, dist_scale, lr_scale):
+    # device-resident dataset: images stay on device as uint8; train steps
+    # receive int32 ids and gather + normalize on device
+    dev_images = None
+    if not args.host_data:
+        gb = dataset_train.images.nbytes / 1e9
+        if gb <= 8.0:
+            dev_images = jax.device_put(jnp.asarray(dataset_train.images))
+            print(f'device-resident dataset: {gb:.2f} GB uint8')
+        else:
+            print(f'dataset {gb:.2f} GB > 8 GB; streaming batches from '
+                  f'host (use --host-data to silence)')
+
+    def train_step_body(params, batch_stats, opt_state, images_a, images_b,
+                        eyes_a, eyes_b, dist_scale, lr_scale):
+        if dev_images is not None:
+            # images_a/b are int32 ids into the device-resident array
+            images_a = dev_images[images_a].astype(jnp.float32) / 255.
+            images_b = dev_images[images_b].astype(jnp.float32) / 255.
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, images_a, images_b,
                                    eyes_a, eyes_b, dist_scale)
@@ -430,6 +480,23 @@ def main():
         updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
+
+    train_step = jax.jit(train_step_body)
+
+    @jax.jit
+    def train_block(params, batch_stats, opt_state, ia, ib, ea, eb,
+                    dist_scale, lr_scale):
+        """n staged batches trained in one dispatch via lax.scan — on a
+        high-latency link the per-step host roundtrip dominates otherwise."""
+        def one(carry, xs):
+            p, bs, os_ = carry
+            a, b, ea_, eb_ = xs
+            p, bs, os_, loss = train_step_body(p, bs, os_, a, b, ea_, eb_,
+                                               dist_scale, lr_scale)
+            return (p, bs, os_), loss
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            one, (params, batch_stats, opt_state), (ia, ib, ea, eb))
+        return params, batch_stats, opt_state, losses
 
     @jax.jit
     def predict_voxels(params, batch_stats, images):
@@ -496,6 +563,8 @@ def main():
         params = jax.device_put(params, repl)
         batch_stats = jax.device_put(batch_stats, repl)
         opt_state = jax.device_put(opt_state, repl)
+        if dev_images is not None:
+            dev_images = jax.device_put(dev_images, repl)
 
         def shard(x):
             return jax.device_put(jnp.asarray(x), dp_sharding)
@@ -504,39 +573,74 @@ def main():
     np_rng = np.random.RandomState(args.seed)
     losses = []
     t0 = time.time()
-    for i in range(start_iter, args.num_iterations + 1):
+    chain = args.chain or (
+        8 if jax.devices()[0].platform == 'tpu' else 1)
+    put = shard if shard is not None else jnp.asarray
+    if shard is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stacked_sharding = NamedSharding(mesh, P(None, 'dp'))
+
+        def put_stacked(x):
+            return jax.device_put(jnp.asarray(x), stacked_sharding)
+    else:
+        put_stacked = jnp.asarray
+
+    i = start_iter
+    while i <= args.num_iterations:
         # lr and dist_scale decay at 150k iterations
         # (train_reconstruction.py:70-84)
         lr_scale = 0.3 if i >= 150000 else 1.0
         dist_scale = args.dist_scale * (0.3 if i >= 150000 else 1.0)
 
-        ia, ib, ea, eb = dataset_train.get_random_batch(np_rng,
-                                                        args.batch_size)
-        put = shard if shard is not None else jnp.asarray
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, put(ia), put(ib), put(ea),
-            put(eb), jnp.float32(dist_scale), jnp.float32(lr_scale))
-        # keep the loss on device: a float() here would block the host on
-        # every step and serialize dispatch with the device (fatal on a
-        # high-latency link); values are fetched lazily at print time
-        losses.append(loss)
+        # block length: don't straddle the decay boundary or a print/eval
+        # boundary (lr/tau are per-dispatch scalars; prints/evals fire at
+        # exact iteration multiples)
+        n = min(chain, args.num_iterations - i + 1)
+        if i < 150000 < i + n:
+            n = 150000 - i
+        nxt_print = ((i - 1) // args.print_freq + 1) * args.print_freq
+        nxt_eval = ((i - 1) // args.eval_freq + 1) * args.eval_freq
+        n = max(1, min(n, nxt_print - i + 1, nxt_eval - i + 1))
 
-        if i % args.print_freq == 0:
+        get_batch = (dataset_train.get_random_batch_ids
+                     if dev_images is not None
+                     else dataset_train.get_random_batch)
+        batches = [get_batch(np_rng, args.batch_size) for _ in range(n)]
+        if n == 1:
+            ia, ib, ea, eb = batches[0]
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, put(ia), put(ib), put(ea),
+                put(eb), jnp.float32(dist_scale), jnp.float32(lr_scale))
+            # keep the loss on device: a float() here would block the host
+            # on every step and serialize dispatch with the device (fatal
+            # on a high-latency link); fetched lazily at print time
+            losses.append(loss)
+        else:
+            stk = [put_stacked(np.stack([b[k] for b in batches]))
+                   for k in range(4)]
+            params, batch_stats, opt_state, lvec = train_block(
+                params, batch_stats, opt_state, *stk,
+                jnp.float32(dist_scale), jnp.float32(lr_scale))
+            losses.extend([lvec[j] for j in range(n)])
+        i_last = i + n - 1
+
+        if i_last % args.print_freq == 0:
             dt = time.time() - t0
             recent = [float(l) for l in losses[-args.print_freq:]]
-            print(f'Iter: [{i}/{args.num_iterations}]\t'
+            print(f'Iter: [{i_last}/{args.num_iterations}]\t'
                   f'Loss {np.mean(recent):.4f}\t'
                   f'lr {args.learning_rate * lr_scale:.6f}\t'
                   f'sv {dist_scale:.6f}\t'
-                  f'({i / dt:.2f} it/s)')
+                  f'({(i_last - start_iter + 1) / dt:.2f} it/s)')
 
-        if i % args.eval_freq == 0:
+        if i_last % args.eval_freq == 0:
             evaluate(dataset_val, 'Valid')
             if ckpt_mgr is not None:
                 import orbax.checkpoint as ocp
-                ckpt_mgr.save(i, args=ocp.args.StandardSave(
+                ckpt_mgr.save(i_last, args=ocp.args.StandardSave(
                     dict(params=params, batch_stats=batch_stats)))
                 ckpt_mgr.wait_until_finished()
+        i += n
 
     mean_iou = evaluate(dataset_val, 'Final')
     return mean_iou, float(np.mean([float(l) for l in losses[-10:]]))
