@@ -26,6 +26,8 @@ def main():
     ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--face-chunk', type=int, default=128)
     ap.add_argument('--pixel-tile', type=int, default=256)
+    ap.add_argument('--level', type=int, default=3,
+                    help='icosphere subdivision level (3 = 1280 faces)')
     args = ap.parse_args()
 
     import jax
@@ -45,7 +47,7 @@ def main():
     print(f'platform={platform} backend={backend}', file=sys.stderr)
 
     from gendr_tpu.geometry import transforms as T
-    v, f = data.icosphere(3)  # 642 verts / 1280 faces
+    v, f = data.icosphere(args.level)  # level 3 = 1280 faces
     B, is_ = 1, args.image_size
     verts = jnp.asarray(v)[None] * 0.9
     eye = T.get_points_from_angles(2.732, 30.0, 45.0)
