@@ -63,6 +63,56 @@ def test_train_reconstruction_checkpoint_resume(tmp_path):
     run_script('experiments/train_reconstruction.py', argv)
 
 
+def test_shapenet_npz_loader(tmp_path):
+    """The ShapeNet npz ingestion path (never exercised by --synthetic):
+    per-class `{id}_{set}_images.npz` / `{id}_{set}_voxels.npz` trees load,
+    batch, and iterate exactly like the reference's loader
+    (train_reconstruction.py:271-358)."""
+    sys.path.insert(0, '.')
+    import numpy as np
+    from experiments.train_reconstruction import ShapeNet, CLASS_IDS_MAP
+
+    root = tmp_path / 'data'
+    d = root / 'mesh_reconstruction'
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    class_ids = ['02691156', '03001627']
+    n_obj = {cid: 3 + i for i, cid in enumerate(class_ids)}
+    for cid in class_ids:
+        n = n_obj[cid]
+        # NMR dataset format: per-class images npz is [n_obj, 24, 4, H, W]
+        # uint8 (the loader flattens to [n_obj*24, 4, H, W])
+        images = (rng.rand(n, 24, 4, 64, 64) * 255).astype(np.uint8)
+        voxels = (rng.rand(n, 32, 32, 32) > 0.5).astype(np.uint8)
+        np.savez(str(d / f'{cid}_train_images.npz'), images)
+        np.savez(str(d / f'{cid}_train_voxels.npz'), voxels)
+
+    ds = ShapeNet(str(root), class_ids, 'train')
+    assert ds.images.shape == ((3 + 4) * 24, 4, 64, 64)
+    assert ds.voxels.shape[0] == 7
+
+    ia, ib, ea, eb = ds.get_random_batch(np.random.RandomState(1), 8)
+    assert ia.shape == (8, 4, 64, 64) and ia.dtype == np.float32
+    assert ea.shape == (8, 3)
+    assert float(ia.max()) <= 1.0
+
+    ids_a, ids_b, ea2, eb2 = ds.get_random_batch_ids(
+        np.random.RandomState(1), 8)
+    # identical rng draws -> the id variant indexes the same images
+    np.testing.assert_allclose(ds.images[ids_a] / 255.0, ia)
+    np.testing.assert_allclose(ea2, ea)
+
+    total = 0
+    for im, vx in ds.get_all_batches_for_evaluation(16, class_ids[0]):
+        assert im.shape[1:] == (4, 64, 64)
+        assert vx.shape[1:] == (32, 32, 32)
+        total += im.shape[0]
+    assert total == 3 * 24
+
+    pairs = dict(ds.class_ids_pair)
+    assert pairs['02691156'] == CLASS_IDS_MAP['02691156']
+
+
 def test_shape_model_parametrization():
     """The sigmoid reparametrization reproduces the template at zero
     displacement (opt_shape.py:75-87)."""
