@@ -107,33 +107,42 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
-    """NMR-style template-sphere deformation
-    (train_reconstruction.py:119-167)."""
+    """Template-sphere deformation head (NMR-style; reference semantics
+    train_reconstruction.py:119-167).
+
+    An MLP predicts a per-vertex displacement in logit space plus a global
+    centroid shift; the template's coordinates are mapped axis-wise to
+    logits, displaced, and squashed back through a sigmoid, so the deformed
+    mesh can never leave the unit volume.
+    """
     nv: int
     centroid_scale: float = 0.1
     bias_scale: float = 1.0
+    width: int = 1024
 
     @nn.compact
-    def __call__(self, x, vertices_base):
-        dim = 1024
-        x = nn.relu(nn.Dense(dim)(x))
-        x = nn.relu(nn.Dense(dim * 2)(x))
-        centroid = nn.Dense(3)(x) * self.centroid_scale
-        bias = nn.Dense(self.nv * 3)(x) * self.bias_scale
-        bias = bias.reshape(-1, self.nv, 3)
+    def __call__(self, features, vertices_base):
+        h = nn.relu(nn.Dense(self.width)(features))
+        h = nn.relu(nn.Dense(self.width * 2)(h))
+        centroid = jnp.tanh(
+            nn.Dense(3)(h) * self.centroid_scale)[:, None, :]
+        displace = (nn.Dense(self.nv * 3)(h)
+                    * self.bias_scale).reshape(-1, self.nv, 3)
 
-        base = vertices_base * 0.5  # obj_scale
-        sign = jnp.sign(base)
-        base = jnp.abs(base)
-        base = jnp.log(base / (1 - base))
-        centroid = jnp.tanh(centroid[:, None, :])
-        scale_pos = 1 - centroid
-        scale_neg = centroid + 1
-        vertices = jax.nn.sigmoid(base + bias) * sign
-        vertices = jax.nn.relu(vertices) * scale_pos \
-            - jax.nn.relu(-vertices) * scale_neg
-        vertices = (vertices + centroid) * 0.5
-        return vertices
+        # template -> per-axis logits (half-extent scale keeps |t| < 1)
+        template = vertices_base * 0.5
+        axis_sign = jnp.sign(template)
+        t_abs = jnp.abs(template)
+        logits = jnp.log(t_abs / (1.0 - t_abs))
+        deformed = jax.nn.sigmoid(logits + displace) * axis_sign
+
+        # squeeze each half-space toward the shifted centroid so the
+        # translation cannot push vertices out of [-1, 1]
+        squeeze_hi = 1.0 - centroid
+        squeeze_lo = 1.0 + centroid
+        deformed = (jax.nn.relu(deformed) * squeeze_hi
+                    - jax.nn.relu(-deformed) * squeeze_lo)
+        return (deformed + centroid) * 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +544,23 @@ def main():
         print(f'Mean {label} IoU: {mean_iou:.3f} for all classes')
         return mean_iou
 
+    # the batch stream RNG is part of the training state: a resumed run
+    # must draw the same batches it would have drawn uninterrupted
+    np_rng = np.random.RandomState(args.seed)
+
+    def _rng_state_dict():
+        name, keys, pos, has_gauss, gauss = np_rng.get_state()
+        assert name == 'MT19937', name
+        # 0-d ndarrays: orbax StandardSave rejects bare numpy scalars
+        return dict(keys=np.asarray(keys, np.uint32),
+                    pos=np.asarray(pos, np.int64),
+                    has_gauss=np.asarray(has_gauss, np.int64),
+                    gauss=np.asarray(gauss, np.float64))
+
+    def _train_state():
+        return dict(params=params, batch_stats=batch_stats,
+                    opt_state=opt_state, rng_state=_rng_state_dict())
+
     ckpt_mgr = None
     start_iter = 1
     if args.checkpoint_dir:
@@ -545,10 +571,16 @@ def main():
         latest = ckpt_mgr.latest_step()
         if latest is not None:
             restored = ckpt_mgr.restore(
-                latest, args=ocp.args.StandardRestore(
-                    dict(params=params, batch_stats=batch_stats)))
+                latest, args=ocp.args.StandardRestore(_train_state()))
             params = restored['params']
             batch_stats = restored['batch_stats']
+            # Adam moments resume exactly; without this a restart silently
+            # resets optimizer dynamics (ADVICE.md r1, medium)
+            opt_state = restored['opt_state']
+            rs = restored['rng_state']
+            np_rng.set_state((
+                'MT19937', np.asarray(rs['keys'], np.uint32),
+                int(rs['pos']), int(rs['has_gauss']), float(rs['gauss'])))
             start_iter = latest + 1
             print(f'Restored checkpoint at iteration {latest}; '
                   f'resuming from {start_iter}.')
@@ -570,7 +602,6 @@ def main():
             return jax.device_put(jnp.asarray(x), dp_sharding)
         print(f'data-parallel over {len(jax.devices())} devices')
 
-    np_rng = np.random.RandomState(args.seed)
     losses = []
     t0 = time.time()
     chain = args.chain or (
@@ -637,13 +668,17 @@ def main():
             evaluate(dataset_val, 'Valid')
             if ckpt_mgr is not None:
                 import orbax.checkpoint as ocp
-                ckpt_mgr.save(i_last, args=ocp.args.StandardSave(
-                    dict(params=params, batch_stats=batch_stats)))
+                ckpt_mgr.save(i_last,
+                              args=ocp.args.StandardSave(_train_state()))
                 ckpt_mgr.wait_until_finished()
         i += n
 
     mean_iou = evaluate(dataset_val, 'Final')
-    return mean_iou, float(np.mean([float(l) for l in losses[-10:]]))
+    # a restored run past num_iterations trains zero steps; report NaN
+    # explicitly instead of np.mean([])'s RuntimeWarning
+    final_loss = (float(np.mean([float(l) for l in losses[-10:]]))
+                  if losses else float('nan'))
+    return mean_iou, final_loss
 
 
 if __name__ == '__main__':

@@ -144,13 +144,18 @@ class RenderConfig:
     # 'rgba' (reference semantics) or 'alpha' (silhouette-only fast path:
     # skips depth/RGB work entirely; RGB outputs are the background)
     channels: str = 'rgba'
+    # what to do when backend='pallas' cannot run a config (surface TS > 36,
+    # or a non-128-tileable image size on real TPUs): 'silent' routes to the
+    # XLA backend, 'warn' additionally emits a RuntimeWarning, 'error' raises
+    on_fallback: str = 'silent'
 
     @classmethod
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
                face_chunk=128, pixel_tile=256,
-               channels='rgba') -> 'RenderConfig':
+               channels='rgba', on_fallback='silent') -> 'RenderConfig':
+        assert on_fallback in ('silent', 'warn', 'error'), on_fallback
         return cls(
             image_size=int(image_size),
             dist_func=resolve(dist_func, DIST_FUNC_MAP),
@@ -163,6 +168,7 @@ class RenderConfig:
             face_chunk=int(face_chunk),
             pixel_tile=int(pixel_tile),
             channels=channels,
+            on_fallback=on_fallback,
         )
 
 

@@ -101,40 +101,34 @@ class FlattenLoss:
         self.v3s = jnp.asarray(np.array(v3s, np.int32))
 
     def __call__(self, vertices, eps=1e-6):
-        """vertices: [B, nv, 3] -> [B] (losses.py:78-120)."""
-        v0s = vertices[:, self.v0s, :]
-        v1s = vertices[:, self.v1s, :]
-        v2s = vertices[:, self.v2s, :]
-        v3s = vertices[:, self.v3s, :]
+        """vertices: [B, nv, 3] -> [B].
 
-        a1 = v1s - v0s
-        b1 = v2s - v0s
-        a1l2 = jnp.sum(a1 ** 2, -1)
-        b1l2 = jnp.sum(b1 ** 2, -1)
-        a1l1 = jnp.sqrt(a1l2 + eps)
-        b1l1 = jnp.sqrt(b1l2 + eps)
-        ab1 = jnp.sum(a1 * b1, -1)
-        cos1 = ab1 / (a1l1 * b1l1 + eps)
-        sin1 = jnp.sqrt(1 - cos1 ** 2 + eps)
-        c1 = a1 * (ab1 / (a1l2 + eps))[:, :, None]
-        cb1 = b1 - c1
-        cb1l1 = b1l1 * sin1
+        The dihedral angle across each interior edge is measured between the
+        two wing vertices' rejections from the shared edge (numerics per
+        reference losses.py:78-120: every norm/divide is eps-regularized and
+        the rejection length is taken as |wing| sin(angle) rather than the
+        norm of the rejection vector itself).
+        """
+        edge_a = vertices[:, self.v1s, :] - vertices[:, self.v0s, :]
+        edge_sq = jnp.sum(edge_a ** 2, -1)
+        edge_len = jnp.sqrt(edge_sq + eps)
 
-        a2 = v1s - v0s
-        b2 = v3s - v0s
-        a2l2 = jnp.sum(a2 ** 2, -1)
-        b2l2 = jnp.sum(b2 ** 2, -1)
-        a2l1 = jnp.sqrt(a2l2 + eps)
-        b2l1 = jnp.sqrt(b2l2 + eps)
-        ab2 = jnp.sum(a2 * b2, -1)
-        cos2 = ab2 / (a2l1 * b2l1 + eps)
-        sin2 = jnp.sqrt(1 - cos2 ** 2 + eps)
-        c2 = a2 * (ab2 / (a2l2 + eps))[:, :, None]
-        cb2 = b2 - c2
-        cb2l1 = b2l1 * sin2
+        def edge_rejection(wing_idx):
+            """Component of (wing - v0) perpendicular to the shared edge,
+            and its regularized length."""
+            wing = vertices[:, wing_idx, :] - vertices[:, self.v0s, :]
+            wing_sq = jnp.sum(wing ** 2, -1)
+            wing_len = jnp.sqrt(wing_sq + eps)
+            proj = jnp.sum(edge_a * wing, -1)
+            cos_w = proj / (edge_len * wing_len + eps)
+            sin_w = jnp.sqrt(1 - cos_w ** 2 + eps)
+            rej = wing - edge_a * (proj / (edge_sq + eps))[:, :, None]
+            return rej, wing_len * sin_w
 
-        cos = jnp.sum(cb1 * cb2, -1) / (cb1l1 * cb2l1 + eps)
-        loss = jnp.sum((cos + 1) ** 2, axis=1)
+        rej2, len2 = edge_rejection(self.v2s)
+        rej3, len3 = edge_rejection(self.v3s)
+        cos_dihedral = jnp.sum(rej2 * rej3, -1) / (len2 * len3 + eps)
+        loss = jnp.sum((cos_dihedral + 1) ** 2, axis=1)
         if self.average:
             return jnp.sum(loss) / vertices.shape[0]
         return loss

@@ -34,6 +34,55 @@ from gendr_tpu import config as C
 from gendr_tpu.raster import prep, xla_backend as X
 
 
+def _resolve_backend(cfg: C.RenderConfig, textures, backend=None) -> str:
+    """Which local per-shard engine to run: the production Pallas kernels
+    (cfg.backend == 'pallas' and the config is in their envelope) or the XLA
+    streaming scan.  Decided statically — forward and backward must agree."""
+    backend = cfg.backend if backend is None else backend
+    if backend == 'pallas':
+        from gendr_tpu.raster import pallas_backend as PB
+        if not PB._xla_fallback(cfg, textures):
+            return 'pallas'
+    return 'xla'
+
+
+def _chunk_unit(cfg: C.RenderConfig, backend: str) -> int:
+    """Per-shard face counts must be a multiple of this."""
+    if backend == 'pallas':
+        from gendr_tpu.raster import pallas_backend as PB
+        return PB._align_fc(cfg.face_chunk)
+    return cfg.face_chunk
+
+
+def _local_forward_carry(backend, fv_l, tex_l, fvalid_l, cfg, params,
+                         base_offset, P_pix, dp_axis, fp_axis):
+    """Partial aggregation carry for one fp shard's faces (no background)."""
+    if backend == 'pallas':
+        from gendr_tpu.raster import pallas_backend as PB
+        carry, _ = PB.forward_partial(fv_l, tex_l, cfg, params,
+                                      base_offset=base_offset,
+                                      fvalid=fvalid_l)
+        return carry
+    b_l = fv_l.shape[0]
+    finfo_l = prep.faces_info(fv_l)
+    carry0 = jax.tree_util.tree_map(
+        lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
+        X.empty_carry(b_l, P_pix, cfg))
+    return X.forward_carry(fv_l, tex_l, finfo_l, fvalid_l, carry0, cfg,
+                           params, base_offset=base_offset)
+
+
+def _local_backward(backend, fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l,
+                    cfg, params, base_offset):
+    if backend == 'pallas':
+        from gendr_tpu.raster import pallas_backend as PB
+        return PB.backward(fv_l, tex_l, None, soft_l, aggr_l, g_l, cfg,
+                           params, base_offset=base_offset, fvalid=fvalid_l)
+    finfo_l = prep.faces_info(fv_l)
+    return X.backward(fv_l, tex_l, finfo_l, soft_l, aggr_l, g_l, cfg,
+                      params, base_offset=base_offset)
+
+
 def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
     """Build a Mesh from an axis-name -> size dict, e.g. {'dp': 4, 'fp': 2}."""
     if devices is None:
@@ -63,11 +112,13 @@ def _pad_to(x, n, axis):
 
 def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
                    params: Dict, mesh: Mesh, dp_axis: Optional[str] = 'dp',
-                   fp_axis: Optional[str] = 'fp'):
+                   fp_axis: Optional[str] = 'fp', backend=None):
     """Forward render with batch sharded over ``dp_axis`` and faces sharded
     over ``fp_axis``.  Returns soft_colors [B, 4, H, W] (replicated over fp).
 
-    face_vertices: [B, F, 9]; textures: [B, F, TS, 3].
+    face_vertices: [B, F, 9]; textures: [B, F, TS, 3].  ``backend`` picks
+    the per-shard engine ('pallas' production kernels or 'xla' streaming
+    scan); default cfg.backend.
     """
     from jax import shard_map
 
@@ -75,7 +126,8 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
     is_ = cfg.image_size
     P_pix = is_ * is_
     n_fp = mesh.shape[fp_axis] if fp_axis else 1
-    cf = cfg.face_chunk
+    backend = _resolve_backend(cfg, textures, backend)
+    cf = _chunk_unit(cfg, backend)
     Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
 
     face_vertices = _pad_to(jnp.asarray(face_vertices, jnp.float32), Fp, 1)
@@ -92,14 +144,10 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
 
     def local_render(fv_local, tex_local, fvalid_local, bg_local):
         b_local = fv_local.shape[0]
-        finfo_local = prep.faces_info(fv_local)
-        carry0 = jax.tree_util.tree_map(
-            lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
-            X.empty_carry(b_local, P_pix, cfg))
-        carry = X.forward_carry(
-            fv_local, tex_local, finfo_local, fvalid_local,
-            carry0, cfg, params,
-            base_offset=jax.lax.axis_index(fp_axis) * (Fp // n_fp))
+        carry = _local_forward_carry(
+            backend, fv_local, tex_local, fvalid_local, cfg, params,
+            jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_pix,
+            dp_axis, fp_axis)
         # merge partial carries across the face axis, in shard order, with
         # the background state folded in first (reference init order)
         gathered = jax.lax.all_gather(carry, fp_axis)  # leading axis n_fp
@@ -116,7 +164,7 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
 
 
 def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
-                        fp_axis='fp'):
+                        fp_axis='fp', backend=None):
     """Differentiable face+batch-sharded render with the reference gradient
     semantics (aggregate-inverse t-conorm backward etc.).
 
@@ -125,15 +173,19 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
     cross-device reduction for grad_faces at all (they are face-sharded),
     and the dp gradient all-reduce for model parameters is inserted by XLA
     outside this function.
+
+    ``backend`` picks the per-shard engine ('pallas' production kernels or
+    'xla' streaming scan); default cfg.backend.  The fp-shard carry merge is
+    backend-agnostic, so the Pallas hot loop runs unchanged under sharding.
     """
     from jax import shard_map
     import functools
 
     n_fp = mesh.shape[fp_axis] if fp_axis else 1
-    cf = cfg.face_chunk
 
-    def _prepare(face_vertices, textures):
+    def _prepare(face_vertices, textures, backend_r):
         B, F = face_vertices.shape[:2]
+        cf = _chunk_unit(cfg, backend_r)
         Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
         fv = _pad_to(jnp.asarray(face_vertices, jnp.float32), Fp, 1)
         tex = _pad_to(jnp.asarray(textures, jnp.float32), Fp, 1)
@@ -146,7 +198,9 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
         return out
 
     def _fwd_impl(face_vertices, textures, params):
-        fv, tex, fvalid, B, F, Fp = _prepare(face_vertices, textures)
+        backend_r = _resolve_backend(cfg, textures, backend)
+        fv, tex, fvalid, B, F, Fp = _prepare(face_vertices, textures,
+                                             backend_r)
         P_pix = cfg.image_size ** 2
         bg = jnp.broadcast_to(
             jnp.asarray(params['background_color'],
@@ -154,14 +208,10 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
 
         def local_fwd(fv_l, tex_l, fvalid_l, bg_l):
             b_l = fv_l.shape[0]
-            finfo_l = prep.faces_info(fv_l)
-            carry0 = jax.tree_util.tree_map(
-                lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
-                X.empty_carry(b_l, P_pix, cfg))
-            carry = X.forward_carry(
-                fv_l, tex_l, finfo_l, fvalid_l,
-                carry0, cfg, params,
-                base_offset=jax.lax.axis_index(fp_axis) * (Fp // n_fp))
+            carry = _local_forward_carry(
+                backend_r, fv_l, tex_l, fvalid_l, cfg, params,
+                jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_pix,
+                dp_axis, fp_axis)
             gathered = jax.lax.all_gather(carry, fp_axis)
             merged = X.background_carry(b_l, P_pix, bg_l, cfg, params)
             for i in range(n_fp):
@@ -177,28 +227,31 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
             # deterministic fold), which the vma checker cannot infer
             out_specs=(P(dp_axis), P(dp_axis)), check_vma=False)(
                 fv, tex, fvalid, bg)
-        return soft_colors, (fv, tex, soft_colors, aggrs, params)
+        return soft_colors, (fv, tex, fvalid, soft_colors, aggrs, params)
 
     def _fwd(face_vertices, textures, params):
         out, res = _fwd_impl(face_vertices, textures, params)
         return out, (res, face_vertices.shape[1], textures.shape[1])
 
     def _bwd(resF, g):
-        (fv, tex, soft_colors, aggrs, params), F, Ft = resF
+        (fv, tex, fvalid, soft_colors, aggrs, params), F, Ft = resF
+        # statically re-derivable from cfg + texture shape (padding does not
+        # change TS); residuals must stay pure JAX types
+        backend_r = _resolve_backend(cfg, tex, backend)
 
-        def local_bwd(fv_l, tex_l, soft_l, aggr_l, g_l):
-            finfo_l = prep.faces_info(fv_l)
+        def local_bwd(fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l):
             fp_local = fv_l.shape[1]
-            return X.backward(
-                fv_l, tex_l, finfo_l, soft_l, aggr_l, g_l, cfg, params,
+            return _local_backward(
+                backend_r, fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l,
+                cfg, params,
                 base_offset=jax.lax.axis_index(fp_axis) * fp_local)
 
         gf, gt = shard_map(
             local_bwd, mesh=mesh,
-            in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis),
+            in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
                       P(dp_axis), P(dp_axis), P(dp_axis)),
             out_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis)),
-            check_vma=False)(fv, tex, soft_colors, aggrs, g)
+            check_vma=False)(fv, tex, fvalid, soft_colors, aggrs, g)
         zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
         return gf[:, :F], gt[:, :Ft], zero_params
 

@@ -142,8 +142,10 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
     for i in range(3):
         rows[R_IZ + i] = 1.0 / zs[i]
 
-    rows[R_FVALID] = jnp.broadcast_to(
-        fvalid.astype(jnp.float32)[None, :], (B, Fp))
+    fval_f = fvalid.astype(jnp.float32)
+    if fval_f.ndim == 1:
+        fval_f = fval_f[None, :]
+    rows[R_FVALID] = jnp.broadcast_to(fval_f, (B, Fp))
 
     if cfg.texture_type == C.TEXTURE_VERTEX:
         for j in range(3):

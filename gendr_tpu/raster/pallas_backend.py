@@ -475,27 +475,48 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
     out_ref[0, :, :] = acc_ref[:, :]
 
 
-def _xla_fallback(cfg, textures):
-    """Route to the XLA backend when the pallas kernels can't run this
-    config: very high-res surface textures (R > 6 would need > 108 one-hot
-    texel selections per pair), or an image size with no 128-aligned pixel
-    tiling (Mosaic DMA alignment; only constrains real TPUs)."""
+def fallback_reason(cfg, textures):
+    """Why this config is outside the pallas kernels' envelope (or None):
+    very high-res surface textures (R > 6 would need > 108 one-hot texel
+    selections per pair), or an image size with no 128-aligned pixel tiling
+    (Mosaic DMA alignment; only constrains real TPUs)."""
     if cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 36:
-        return True
+        return (f'surface texture_res {int(round(textures.shape[2]**0.5))} '
+                f'(TS={textures.shape[2]} texels/face > 36)')
     if not _interpret() and not _tiles_feasible(cfg.image_size,
                                                 cfg.pixel_tile):
-        return True
+        return (f'image_size {cfg.image_size} has no 128-aligned pixel '
+                f'tiling on TPU (use a multiple of 128, e.g. 128/256/768)')
     return False
 
 
-def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict):
+def _xla_fallback(cfg, textures):
+    """True if this render routes to the XLA backend instead of the pallas
+    kernels; honors cfg.on_fallback ('silent' | 'warn' | 'error')."""
+    reason = fallback_reason(cfg, textures)
+    if not reason:
+        return False
+    if cfg.on_fallback == 'error':
+        raise ValueError(
+            f'backend="pallas" cannot run this config ({reason}) and '
+            f'on_fallback="error"; pass on_fallback="warn"/"silent" to '
+            f'accept the XLA streaming-scan backend instead')
+    if cfg.on_fallback == 'warn':
+        import warnings
+        warnings.warn(f'pallas backend falling back to the XLA streaming '
+                      f'scan: {reason}', RuntimeWarning, stacklevel=3)
+    return True
+
+
+def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
+             fvalid_in=None):
     """Sort, pack, and build cull lists once; shared by fwd and bwd."""
     B, F = face_vertices.shape[:2]
     is_ = cfg.image_size
     FC = _align_fc(cfg.face_chunk)
     tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
-                                                 F, FC, cfg)
+                                                 F, FC, cfg, fvalid_in)
     packed = pack.pack_faces(fv, tex, fvalid, cfg)
     margin = pack.cull_margin(cfg, params)
     mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
@@ -516,13 +537,37 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
 def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
                      params: Dict, aux=None):
     B, F = face_vertices.shape[:2]
-    TS = textures.shape[2]
     if _xla_fallback(cfg, textures):
         from gendr_tpu.raster import prep
         finfo = prep.faces_info(face_vertices)
         soft, aggrs = X.forward(face_vertices, textures, finfo, cfg, params)
         return soft, aggrs, finfo
 
+    carry, aux = forward_partial(face_vertices, textures, cfg, params,
+                                 aux=aux)
+    P = cfg.image_size ** 2
+    bg = jnp.broadcast_to(
+        jnp.asarray(params['background_color'],
+                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
+    carry = X.merge_carries(X.background_carry(B, P, bg, cfg, params),
+                            carry, cfg, params)
+    soft_colors, aggrs_info = X.finalize(carry, cfg)
+    return soft_colors, aggrs_info, aux
+
+
+def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
+                    params: Dict, aux=None, base_offset=0, fvalid=None):
+    """Run the forward kernel and return the per-pixel aggregation carry
+    WITHOUT the background fold — an ``xla_backend.empty_carry``-compatible
+    partial state, mergeable with ``X.merge_carries``.  This is what the
+    face-sharded path (gendr_tpu.parallel.sharding) calls per fp shard.
+
+    ``base_offset`` globally offsets the recorded hard-RGB winner ids (they
+    stay in this shard's Morton-sorted space plus the offset); ``fvalid``
+    ([F] bool) marks externally-padded faces.  Returns (carry, aux).
+    """
+    B, F = face_vertices.shape[:2]
+    TS = textures.shape[2]
     is_ = cfg.image_size
     P = is_ * is_
     FC = _align_fc(cfg.face_chunk)
@@ -532,7 +577,7 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
     tx_n = is_ // tile_w
 
     if aux is None:
-        aux = _prepass(face_vertices, textures, cfg, params)
+        aux = _prepass(face_vertices, textures, cfg, params, fvalid)
     packed, perm = aux['packed'], aux['perm']
     tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
     Fp = packed.shape[2]
@@ -547,7 +592,7 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
         num_scalar_prefetch=3,
         grid=(B, T_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
         ],
         out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, *_: (b, t, 0)),
         scratch_shapes=[
@@ -565,37 +610,34 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
     # tiled pixel order -> row-major image order (transpose chain, no gather)
     out = pack.untile(out, is_, tile_w, tile_h)
 
-    # -- XLA epilogue: background merge (colors already sampled in-kernel)
+    # -- build the empty-carry-compatible partial state (colors already
+    # sampled in-kernel; the background is folded in by the caller)
     alpha = out[..., 0]
     if cfg.aggr_rgb_func == C.RGB_HARD:
         depth = out[..., 1]
         # NOTE: winner ids stay in Morton-sorted space throughout the pallas
-        # pipeline (aux['perm'] maps them to input order if ever needed)
+        # pipeline (aux['perm'] maps them to input order if ever needed);
+        # base_offset makes them globally unique across fp shards
         fidx = out[..., 2].astype(jnp.int32)
+        if base_offset is not None:
+            fidx = jnp.where(fidx >= 0, fidx + base_offset, fidx)
         rgb = out[..., 5:8]
-        carry = (alpha, jnp.zeros_like(alpha), jnp.zeros_like(alpha), rgb,
-                 depth, fidx)
+        carry = (alpha, jnp.full_like(alpha, NEG_INF),
+                 jnp.zeros_like(alpha), rgb, depth, fidx)
     else:
         ssum, smax = out[..., 1], out[..., 2]
         rgb = out[..., 5:8]
         carry = (alpha, smax, ssum, rgb,
                  jnp.full_like(alpha, BIG_DEPTH),
                  jnp.full_like(alpha, -1).astype(jnp.int32))
-
-    bg = jnp.broadcast_to(
-        jnp.asarray(params['background_color'],
-                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
-    carry = X.merge_carries(X.background_carry(B, P, bg, cfg, params),
-                            carry, cfg, params)
-    soft_colors, aggrs_info = X.finalize(carry, cfg)
-    return soft_colors, aggrs_info, aux
+    return carry, aux
 
 
 def _interpret():
     return jax.devices()[0].platform not in ('tpu',)
 
 
-def _sorted_faces(face_vertices, textures, F, FC, cfg):
+def _sorted_faces(face_vertices, textures, F, FC, cfg, fvalid_in=None):
     """Pad to a chunk multiple and Morton-sort faces by projected bbox
     center (tight chunk bboxes make the tile x chunk cull selective).
 
@@ -604,6 +646,10 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg):
     identical permutation.  Note: face *order* only affects exact-tie
     resolution in the hard-RGB z-argmin (cu:816's strict <); sorted order
     resolves such ties by Morton rank instead of input rank.
+
+    ``fvalid_in`` ([F] bool, optional) marks externally-padded faces (the
+    face-sharded path pads globally before slicing per shard); they sort to
+    the end like local padding and contribute nothing.
     """
     B = face_vertices.shape[0]
     Fp = -(-F // FC) * FC
@@ -613,6 +659,9 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg):
         fv = jnp.pad(fv, ((0, 0), (0, Fp - F), (0, 0)))
         tex = jnp.pad(tex, ((0, 0), (0, Fp - F), (0, 0), (0, 0)))
     fvalid = jnp.arange(Fp) < F
+    if fvalid_in is not None:
+        fvalid = fvalid & jnp.pad(jnp.asarray(fvalid_in, bool),
+                                  (0, Fp - F))
 
     xs = fv[..., 0::3]
     ys = fv[..., 1::3]
@@ -634,6 +683,11 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg):
 
     fv = jnp.take_along_axis(fv, perm[..., None], axis=1)
     tex = jnp.take_along_axis(tex, perm[..., None, None], axis=1)
+    if fvalid_in is not None:
+        # validity must travel with the sort when invalid faces can sit in
+        # the middle of the input (per-batch sorted order)
+        fvalid = jnp.take_along_axis(
+            jnp.broadcast_to(fvalid[None, :], (B, Fp)), perm, axis=1)
     # stop XLA from fusing the sort-gather into every consumer of the
     # packed constants (it re-materializes the gather per row, which blows
     # joint compile time up by ~50x)
@@ -865,17 +919,17 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
 def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
              grad_soft_colors, cfg: C.RenderConfig, params: Dict,
-             base_offset=0):
+             base_offset=0, fvalid=None):
     """Same contract as xla_backend.backward."""
     del finfo
     return backward_from_aux(face_vertices, textures, None, soft_colors,
                              aggrs_info, grad_soft_colors, cfg, params,
-                             base_offset)
+                             base_offset, fvalid)
 
 
 def backward_from_aux(face_vertices, textures, aux, soft_colors,
                       aggrs_info, grad_soft_colors, cfg: C.RenderConfig,
-                      params: Dict, base_offset=0):
+                      params: Dict, base_offset=0, fvalid=None):
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     if _xla_fallback(cfg, textures):
@@ -896,7 +950,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     tx_n = is_ // tile_w
 
     if aux is None:
-        aux = _prepass(face_vertices, textures, cfg, params)
+        aux = _prepass(face_vertices, textures, cfg, params, fvalid)
     packed, perm = aux['packed'], aux['perm']
     chunk_counts, chunk_ids = aux['chunk_counts'], aux['chunk_ids']
     Fp = packed.shape[2]
@@ -906,12 +960,17 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     par = _params_vec(params)
 
     # pixel-space tensor: columns [g_rgba (4), final_rgba (4), aggr0, aggr1]
-    # (aggrs winner ids are already in Morton-sorted space; base_offset only
-    # applies on the shard_map path, which routes through the XLA backend)
-    del base_offset
+    # (aggrs winner ids are in Morton-sorted space + base_offset; shift them
+    # back to this shard's local sorted space so the in-kernel winner
+    # comparison stays offset-free)
     g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
     fin = soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
     ag = aggrs_info.reshape(B, 2, P).transpose(0, 2, 1)
+    if cfg.aggr_rgb_func == C.RGB_HARD and base_offset is not None:
+        # winner ids are exact small ints in float32; non-winner pixels just
+        # shift to another out-of-range id
+        ag = jnp.concatenate(
+            [ag[..., :1], ag[..., 1:] - jnp.float32(base_offset)], axis=-1)
     pix_cols = jnp.concatenate([g, fin, ag], axis=-1)  # [B, P, 10]
     pix_cols = pack.tile(pix_cols, is_, tile_w, tile_h)  # tiled pixel order
     pix_cols = pix_cols.transpose(0, 2, 1)  # SoA [B, 10, P] for aligned DMA
@@ -928,7 +987,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         grid=(B, K),
         in_specs=[
             pl.BlockSpec((1, NI, FC), lambda b, k, *_: (b, 0, k)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pix cols stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # pix cols stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, FC, NO_B),
                                lambda b, k, *_: (b, k, 0, 0)),

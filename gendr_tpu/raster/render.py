@@ -85,6 +85,7 @@ def render(
     face_chunk=128,
     pixel_tile=256,
     channels='rgba',
+    on_fallback='silent',
 ):
     """Differentiable generalized rasterization.
 
@@ -99,7 +100,8 @@ def render(
         image_size=image_size, dist_func=dist_func, dist_squared=dist_squared,
         aggr_alpha_func=aggr_alpha_func, aggr_rgb_func=aggr_rgb_func,
         double_side=double_side, texture_type=texture_type, backend=backend,
-        face_chunk=face_chunk, pixel_tile=pixel_tile, channels=channels)
+        face_chunk=face_chunk, pixel_tile=pixel_tile, channels=channels,
+        on_fallback=on_fallback)
 
     # dist_scale >= 0 and dist_eps >= 1 (functional/renderer.py:96, 101);
     # static python values are checked eagerly, traced values pass through.

@@ -48,6 +48,7 @@ class GenDR:
                  face_chunk=128,
                  pixel_tile=256,
                  channels='rgba',
+                 on_fallback='silent',
                  ):
         if aggr_rgb_func not in ['hard', 'softmax', 0, 1]:
             raise ValueError(
@@ -83,6 +84,7 @@ class GenDR:
         self.face_chunk = face_chunk
         self.pixel_tile = pixel_tile
         self.channels = channels
+        self.on_fallback = on_fallback
 
     def __call__(self, mesh):
         return self.forward_tensors(mesh.face_vertices, mesh.face_textures)
@@ -115,6 +117,7 @@ class GenDR:
             face_chunk=self.face_chunk,
             pixel_tile=self.pixel_tile,
             channels=self.channels,
+            on_fallback=self.on_fallback,
         )
         if self.anti_aliasing:
             images = _avg_pool2(images)

@@ -97,6 +97,127 @@ def test_pallas_backward_matches_xla(spec):
                                atol=2e-4, rtol=2e-3)
 
 
+ALL_DISTS = ['hard', 'uniform', 'cubic_hermite', 'wigner_semicircle',
+             'gaussian', 'laplace', 'logistic', 'gudermannian', 'cauchy',
+             'reciprocal', 'gumbel_max', 'gumbel_min', 'exponential',
+             'exponential_rev', 'gamma', 'gamma_rev', 'levy', 'levy_rev']
+
+# per-distribution continuous params: gamma needs a shape; the asymmetric
+# dists are exercised with a nonzero shift (cu:302-307)
+DIST_PARAMS = {
+    'gamma': dict(dist_shape=2.0),
+    'gamma_rev': dict(dist_shape=2.0),
+    'levy': dict(dist_shift=0.1),
+    'levy_rev': dict(dist_shift=0.1),
+    'exponential': dict(dist_shift=0.05),
+    'gumbel_max': dict(dist_shift=0.05),
+}
+
+MATRIX_TCNS = [('probabilistic', 0.0), ('yager', 2.0), ('hamacher', 0.5)]
+
+
+def _assert_mostly_close(got, want, atol, rtol, max_flip_frac=0.02,
+                         flip_cap_frac=0.03):
+    """Tight closeness for the bulk; a small budget of isolated outliers.
+
+    The two backends classify a pixel's inside/outside state from
+    differently-rounded barycentrics, so a pair sitting within an ulp of
+    the triangle boundary (or of the 1e-6 probability threshold) can flip
+    between them, flipping that pair's gradient sign.  Such flips are
+    isolated single elements; anything systematic trips the budget.
+    """
+    got, want = np.asarray(got), np.asarray(want)
+    close = np.isclose(got, want, atol=atol, rtol=rtol)
+    if close.all():
+        return
+    frac = 1.0 - close.mean()
+    assert frac <= max_flip_frac, \
+        f'{frac:.2%} elements outside tolerance (budget {max_flip_frac:.0%})'
+    scale = np.abs(want).max() + 1e-12
+    worst = np.abs(got - want)[~close].max()
+    assert worst <= flip_cap_frac * scale, \
+        f'outlier magnitude {worst:.3g} > {flip_cap_frac} * {scale:.3g}'
+
+
+def _pallas_vs_xla(dist, tcn, p, rgb, extra=None, seed=11):
+    """fwd + bwd parity of the pallas kernels against the XLA oracle for a
+    full config.  Every branch of the reference kernel's distribution zoo
+    (cu:242-459) is reachable; this pins each through the pallas path."""
+    rng = np.random.RandomState(seed)
+    fv = jnp.asarray(random_scene(rng, B=1, F=11).reshape(1, 11, 9))
+    tex = jnp.asarray(rng.rand(1, 11, 1, 3).astype(np.float32))
+    cfg = C.RenderConfig.create(
+        image_size=16, dist_func=dist, aggr_alpha_func=tcn,
+        aggr_rgb_func=rgb, face_chunk=8, pixel_tile=64, backend='pallas')
+    pkw = dict(dist_scale=5e-2, aggr_alpha_t_conorm_p=p)
+    pkw.update(extra or {})
+    params = params_dict(**pkw)
+    finfo = prep.faces_info(fv)
+
+    want, want_ag = X.forward(fv, tex, finfo, cfg, params)
+    got, got_ag, aux = PB.forward_with_aux(fv, tex, cfg, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
+
+    g = jnp.asarray(rng.randn(1, 4, 16, 16).astype(np.float32))
+    want_f, want_t = X.backward(fv, tex, finfo, want, want_ag, g, cfg,
+                                params)
+    got_f, got_t = PB.backward_from_aux(fv, tex, aux, got, got_ag, g, cfg,
+                                        params)
+    # rtol 1e-2: the parametric t-conorm folds (yager powers etc.) associate
+    # differently in the butterfly vs the XLA tree reduction; isolated
+    # boundary flips are covered by the budgeted assertion
+    _assert_mostly_close(got_f, want_f, atol=1e-3, rtol=1e-2)
+    _assert_mostly_close(got_t, want_t, atol=1e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize('dist', ALL_DISTS)
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+def test_pallas_dist_matrix(dist, rgb):
+    """All 18 distribution ids through the pallas kernels, fwd + bwd, both
+    RGB modes (probabilistic t-conorm)."""
+    _pallas_vs_xla(dist, 'probabilistic', 0.0, rgb,
+                   extra=DIST_PARAMS.get(dist))
+
+
+@pytest.mark.parametrize('dist', ALL_DISTS)
+@pytest.mark.parametrize('tcn,p', MATRIX_TCNS[1:])
+def test_pallas_dist_tcn_matrix(dist, tcn, p):
+    """All 18 distribution ids x the parametric t-conorms (yager p=2,
+    hamacher p=0.5) through the generic butterfly fold path."""
+    _pallas_vs_xla(dist, tcn, p, 'hard', extra=DIST_PARAMS.get(dist))
+
+
+def test_pallas_gamma_small_shape():
+    """gamma with shape < 1 hits the Kummer-series small-a regime
+    (cu:310-318)."""
+    _pallas_vs_xla('gamma', 'probabilistic', 0.0, 'softmax',
+                   extra=dict(dist_shape=0.5))
+
+
+def test_pallas_dist_squared_exotic():
+    """dist_squared routes dis^2 into the CDF (cu:770-772) — check it on a
+    heavy-tail dist through pallas."""
+    rng = np.random.RandomState(13)
+    fv = jnp.asarray(random_scene(rng, B=1, F=9).reshape(1, 9, 9))
+    tex = jnp.asarray(rng.rand(1, 9, 1, 3).astype(np.float32))
+    cfg = C.RenderConfig.create(
+        image_size=16, dist_func='cauchy', dist_squared=True,
+        aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
+        face_chunk=8, pixel_tile=64, backend='pallas')
+    params = params_dict(dist_scale=1e-3)
+    finfo = prep.faces_info(fv)
+    want, want_ag = X.forward(fv, tex, finfo, cfg, params)
+    got, got_ag = PB.forward(fv, tex, finfo, cfg, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
+    g = jnp.asarray(rng.randn(1, 4, 16, 16).astype(np.float32))
+    want_f, _ = X.backward(fv, tex, finfo, want, want_ag, g, cfg, params)
+    got_f, _ = PB.backward(fv, tex, finfo, got, got_ag, g, cfg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=5e-4, rtol=5e-3)
+
+
 def test_pallas_max_tconorm_finite_difference():
     """Self-consistency of the pallas path for the max t-conorm."""
     from gendr_tpu.raster.render import render
@@ -201,6 +322,79 @@ def test_pallas_surface_texture_res2(rgb):
                                atol=5e-4, rtol=5e-3)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                atol=5e-4, rtol=5e-3)
+
+
+def test_pallas_obtuse_triangle_parity():
+    """Strongly obtuse triangles: the pallas first-minimum argmin over
+    clamped edge distances must agree with the XLA backend's reference
+    decision chain (obt flags, cu:127-139) everywhere — including the
+    vertex/corner Voronoi regions where the obtuse correction applies
+    (ADVICE.md r1)."""
+    # very flat triangles -> obtuse apex angles; plus skewed ones
+    fv = np.array([
+        [[-0.8, 0.0, 2.0, 0.8, 0.0, 2.0, 0.0, 0.06, 2.0]],
+        [[-0.7, -0.5, 2.0, 0.7, -0.45, 2.0, -0.6, -0.42, 2.0]],
+        [[0.1, 0.6, 2.0, 0.9, 0.62, 2.0, 0.88, 0.7, 2.0]],
+    ], np.float32).reshape(3, 1, 9)
+    tex = np.ones((3, 1, 1, 3), np.float32)
+    cfg = C.RenderConfig.create(
+        image_size=32, dist_func='logistic', aggr_alpha_func='probabilistic',
+        aggr_rgb_func='softmax', face_chunk=8, pixel_tile=64,
+        backend='pallas')
+    # large tau so distant outside pixels (vertex Voronoi corners) carry
+    # non-negligible coverage and gradients
+    params = params_dict(dist_scale=0.2)
+    fv_j, tex_j = jnp.asarray(fv), jnp.asarray(tex)
+    finfo = prep.faces_info(fv_j)
+    want, want_ag = X.forward(fv_j, tex_j, finfo, cfg, params)
+    got, got_ag = PB.forward(fv_j, tex_j, finfo, cfg, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+    rng = np.random.RandomState(3)
+    g = jnp.asarray(rng.randn(3, 4, 32, 32).astype(np.float32))
+    want_f, _ = X.backward(fv_j, tex_j, finfo, want, want_ag, g, cfg, params)
+    got_f, _ = PB.backward(fv_j, tex_j, finfo, got, got_ag, g, cfg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=1e-4, rtol=1e-3)
+
+
+class TestFallbackEnvelope:
+    """The pallas kernels' documented envelope: surface TS <= 36 and
+    128-aligned pixel tilings on real TPUs; outside it the render falls
+    back to the XLA backend per cfg.on_fallback."""
+
+    def test_reasons(self):
+        cfg = C.RenderConfig.create(image_size=256, backend='pallas')
+        ok_tex = jnp.zeros((1, 4, 36, 3))
+        big_tex = jnp.zeros((1, 4, 49, 3))
+        assert not PB.fallback_reason(cfg, ok_tex)
+        assert 'texture_res' in PB.fallback_reason(cfg, big_tex)
+        # image-size tiling only constrains real TPUs; the static predicate
+        # is still testable
+        assert PB._tiles_feasible(768, 256)
+        assert PB._tiles_feasible(256, 256)
+        assert not PB._tiles_feasible(767, 256)
+
+    def test_error_mode_raises(self):
+        from gendr_tpu.raster.render import render
+        rng = np.random.RandomState(0)
+        fv = random_scene(rng, B=1, F=3)
+        tex = np.ones((1, 3, 49, 3), np.float32)  # R=7 > envelope
+        with pytest.raises(ValueError, match='on_fallback'):
+            render(fv, tex, image_size=16, backend='pallas',
+                   on_fallback='error')
+
+    def test_warn_mode_renders_via_xla(self):
+        from gendr_tpu.raster.render import render
+        rng = np.random.RandomState(0)
+        fv = random_scene(rng, B=1, F=3)
+        tex = np.ones((1, 3, 49, 3), np.float32)
+        with pytest.warns(RuntimeWarning, match='falling back'):
+            got = render(fv, tex, image_size=16, backend='pallas',
+                         on_fallback='warn')
+        want = render(fv, tex, image_size=16, backend='xla')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
 
 
 @pytest.mark.parametrize('backend', ['xla', 'pallas'])

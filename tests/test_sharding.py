@@ -20,34 +20,40 @@ def mesh():
     return S.make_mesh({'dp': 2, 'fp': 4})
 
 
+@pytest.mark.parametrize('backend', ['xla', 'pallas'])
 @pytest.mark.parametrize('rgb', ['hard', 'softmax'])
-def test_sharded_forward_matches(mesh, rgb):
+def test_sharded_forward_matches(mesh, rgb, backend):
     rng = np.random.RandomState(0)
     fv = random_scene(rng, B=4, F=37).reshape(4, 37, 9)
     tex = rng.rand(4, 37, 1, 3).astype(np.float32)
     cfg = C.RenderConfig.create(image_size=16, dist_func='uniform',
                                 aggr_alpha_func='probabilistic',
-                                aggr_rgb_func=rgb, face_chunk=4)
+                                aggr_rgb_func=rgb, face_chunk=4,
+                                backend=backend)
     params = params_dict(dist_scale=3e-2,
                          background_color=np.array([0.2, 0.1, 0.4]))
 
     got = S.render_sharded(fv, tex, cfg, params, mesh)
+    # reference = the SAME backend unsharded (sharding must be a no-op;
+    # pallas-vs-xla parity is covered by test_pallas)
     want = render(fv, tex, image_size=16, dist_func='uniform',
                   aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
-                  dist_scale=3e-2, face_chunk=4,
+                  dist_scale=3e-2, face_chunk=4, backend=backend,
                   background_color=np.array([0.2, 0.1, 0.4]))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize('backend', ['xla', 'pallas'])
 @pytest.mark.parametrize('rgb', ['hard', 'softmax'])
-def test_sharded_gradients_match(mesh, rgb):
+def test_sharded_gradients_match(mesh, rgb, backend):
     rng = np.random.RandomState(1)
     fv = random_scene(rng, B=4, F=21).reshape(4, 21, 9)
     tex = rng.rand(4, 21, 1, 3).astype(np.float32)
     cfg = C.RenderConfig.create(image_size=12, dist_func='logistic',
                                 aggr_alpha_func='probabilistic',
-                                aggr_rgb_func=rgb, face_chunk=4)
+                                aggr_rgb_func=rgb, face_chunk=4,
+                                backend=backend)
     params = params_dict(dist_scale=5e-2)
     render_fn = S.make_sharded_render(cfg, mesh)
 
@@ -56,9 +62,10 @@ def test_sharded_gradients_match(mesh, rgb):
         return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
 
     def loss_ref(fv_, tex_):
+        # same backend unsharded: isolates the sharding-correctness property
         img = render(fv_, tex_, image_size=12, dist_func='logistic',
                      aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
-                     dist_scale=5e-2, face_chunk=4)
+                     dist_scale=5e-2, face_chunk=4, backend=backend)
         return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
 
     g_sh = jax.grad(loss_sharded, argnums=(0, 1))(jnp.asarray(fv),
@@ -68,6 +75,25 @@ def test_sharded_gradients_match(mesh, rgb):
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize('tcn,p', [('yager', 2.0), ('max', 0.0)])
+def test_sharded_pallas_exotic_tconorms(mesh, tcn, p):
+    """Generic-butterfly and max t-conorm folds must also survive the
+    cross-shard carry merge on the pallas path."""
+    rng = np.random.RandomState(7)
+    fv = random_scene(rng, B=2, F=19).reshape(2, 19, 9)
+    tex = rng.rand(2, 19, 1, 3).astype(np.float32)
+    cfg = C.RenderConfig.create(image_size=16, dist_func='gaussian',
+                                aggr_alpha_func=tcn, face_chunk=4,
+                                backend='pallas')
+    params = params_dict(dist_scale=4e-2, aggr_alpha_t_conorm_p=p)
+    got = S.render_sharded(fv, tex, cfg, params, mesh)
+    want = render(fv, tex, image_size=16, dist_func='gaussian',
+                  aggr_alpha_func=tcn, aggr_alpha_t_conorm_p=p,
+                  dist_scale=4e-2, face_chunk=4, backend='pallas')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
 
 
 def test_dryrun_entrypoints():

@@ -57,6 +57,19 @@ CONFIGS = [
          aggr_rgb_func='softmax', dist_scale=1e-2, _ts=4),
     dict(dist_func='uniform', aggr_alpha_func='probabilistic',
          aggr_rgb_func='softmax', dist_scale=1e-2, _vertex=True),
+    # exotic-distribution samples (full matrix runs on CPU in
+    # tests/test_pallas.py; these pin the compiled Mosaic paths)
+    dict(dist_func='wigner_semicircle', aggr_alpha_func='yager',
+         aggr_alpha_t_conorm_p=2.0, aggr_rgb_func='hard', dist_scale=1e-2),
+    dict(dist_func='gudermannian', aggr_alpha_func='hamacher',
+         aggr_alpha_t_conorm_p=0.5, aggr_rgb_func='softmax',
+         dist_scale=3e-3),
+    dict(dist_func='exponential_rev', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='hard', dist_scale=1e-2, dist_shift=0.05),
+    dict(dist_func='levy', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='softmax', dist_scale=1e-4, dist_shift=0.1),
+    dict(dist_func='gamma', dist_shape=0.5, aggr_alpha_func='einstein',
+         aggr_rgb_func='softmax', dist_scale=1e-2),
 ]
 
 
