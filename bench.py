@@ -28,6 +28,11 @@ def main():
     ap.add_argument('--pixel-tile', type=int, default=256)
     ap.add_argument('--level', type=int, default=3,
                     help='icosphere subdivision level (3 = 1280 faces)')
+    ap.add_argument('--allow-fallback', action='store_true',
+                    help='fall back to the XLA backend if the pallas path '
+                         'fails at runtime (default: fail loudly — a '
+                         'pallas regression must not produce a green-'
+                         'looking number)')
     args = ap.parse_args()
 
     import jax
@@ -97,9 +102,10 @@ def main():
     try:
         sync(run_n(fv, tex, eps))
     except Exception as e:
-        # a recorded number beats a crash: fall back to the XLA backend if
-        # the pallas path fails to compile/run in this environment
-        if backend == 'pallas':
+        # --allow-fallback: record an XLA number instead of crashing; by
+        # default a pallas failure is FATAL so a kernel regression can never
+        # hide behind a green-looking (but order-slower) XLA line
+        if backend == 'pallas' and args.allow_fallback:
             print(f'pallas path failed ({type(e).__name__}: {e}); '
                   f'falling back to xla', file=sys.stderr)
             backend = 'xla'

@@ -242,18 +242,44 @@ class ShapeNet:
             yield images, voxels
 
 
+def _synthetic_shape(rng, family, v):
+    """One random mesh of a synthetic class family (unit icosphere v)."""
+    scale = 0.25 + rng.rand(3) * 0.2
+    if family == 'syn_ellipsoid' or family == 'synthetic':
+        return (v * scale[None, :]).astype(np.float32)
+    if family == 'syn_box':
+        # superquadric: pushes the sphere toward a rounded box
+        p = 0.45 + rng.rand() * 0.2
+        return (np.sign(v) * np.abs(v) ** p * scale[None, :] * 0.85) \
+            .astype(np.float32)
+    if family == 'syn_peanut':
+        # two-lobe pinch along x
+        pinch = 0.45 + rng.rand() * 0.25
+        r = 1.0 - pinch * np.exp(-(v[:, 0] / 0.35) ** 2)
+        out = v * scale[None, :]
+        out[:, 1] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    raise ValueError(family)
+
+
 class SyntheticShapeNet:
     """Procedural stand-in exercising the identical pipeline: random
-    ellipsoid meshes, silhouettes rendered by our own hard renderer, GT
-    voxels from our own voxelizer."""
+    meshes from up to three shape families (ellipsoids, rounded boxes,
+    two-lobe peanuts), silhouettes rendered by our own hard renderer, GT
+    voxels from our own voxelizer.  With multiple classes the full
+    multi-class evaluation loop (per-class IoU + mean, reference
+    train_reconstruction.py:442-445) runs unchanged."""
 
-    def __init__(self, n_objects=32, image_size=64, seed=0):
+    def __init__(self, n_objects=32, image_size=64, seed=0,
+                 class_ids=('synthetic',)):
         rng = np.random.RandomState(seed)
-        self.class_ids = ['synthetic']
+        self.class_ids = list(class_ids)
         self.elevation = 30.0
         self.distance = 2.732
-        self.num_data = {'synthetic': n_objects}
-        self.pos = {'synthetic': 0}
+        self.num_data = {c: n_objects for c in self.class_ids}
+        self.pos = {c: i * n_objects
+                    for i, c in enumerate(self.class_ids)}
         v, f = data.icosphere(2)
         renderer = gendr_tpu.GenDR(
             image_size=image_size, dist_func=0, dist_scale=1e-4,
@@ -281,9 +307,9 @@ class SyntheticShapeNet:
 
         images = []
         voxels = []
-        for _ in range(n_objects):
-            scale = 0.25 + rng.rand(3) * 0.2
-            verts = jnp.asarray((v * scale[None, :]).astype(np.float32))
+        for class_id in self.class_ids:
+          for _ in range(n_objects):
+            verts = jnp.asarray(_synthetic_shape(rng, class_id, v))
             sil, vox = make_object(verts)
             sil = np.asarray(sil)
             vox = np.asarray(vox)
@@ -305,6 +331,10 @@ class SyntheticShapeNet:
 
 
 CLASS_IDS_MAP['synthetic'] = 'Synthetic'
+CLASS_IDS_MAP['syn_ellipsoid'] = 'SynEllipsoid'
+CLASS_IDS_MAP['syn_box'] = 'SynBox'
+CLASS_IDS_MAP['syn_peanut'] = 'SynPeanut'
+SYNTHETIC_CLASSES = ('syn_ellipsoid', 'syn_box', 'syn_peanut')
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +380,11 @@ def main():
                         help='train steps chained on-device per dispatch '
                         '(staged batches + lax.scan; amortizes host/link '
                         'latency). 0 = auto: 8 on TPU, 1 elsewhere')
+    parser.add_argument('--decay-at', type=int, default=150000,
+                        help='iteration at which lr and dist_scale decay '
+                             'x0.3 (reference: 150k of 250k, '
+                             'train_reconstruction.py:70-84); lower it to '
+                             'exercise the decay logic in shorter runs')
     parser.add_argument('--max-eval-batches', type=int, default=0,
                         help='cap eval batches per class (0 = no cap); '
                         '--quick sets 2 unless given explicitly')
@@ -379,8 +414,10 @@ def main():
     # ---- data
     if args.synthetic:
         n_obj = 4 if args.quick else 64
+        ids = args.class_ids.split(',')
+        syn_ids = [c for c in ids if c.startswith('syn')] or ['synthetic']
         dataset_train = SyntheticShapeNet(n_obj, args.image_size,
-                                          args.seed)
+                                          args.seed, class_ids=syn_ids)
         dataset_val = dataset_train
     else:
         class_ids = args.class_ids.split(',')
@@ -617,18 +654,19 @@ def main():
         put_stacked = jnp.asarray
 
     i = start_iter
+    decay_at = args.decay_at
     while i <= args.num_iterations:
-        # lr and dist_scale decay at 150k iterations
-        # (train_reconstruction.py:70-84)
-        lr_scale = 0.3 if i >= 150000 else 1.0
-        dist_scale = args.dist_scale * (0.3 if i >= 150000 else 1.0)
+        # lr and dist_scale decay at the boundary (reference: 150k,
+        # train_reconstruction.py:70-84)
+        lr_scale = 0.3 if i >= decay_at else 1.0
+        dist_scale = args.dist_scale * (0.3 if i >= decay_at else 1.0)
 
         # block length: don't straddle the decay boundary or a print/eval
         # boundary (lr/tau are per-dispatch scalars; prints/evals fire at
         # exact iteration multiples)
         n = min(chain, args.num_iterations - i + 1)
-        if i < 150000 < i + n:
-            n = 150000 - i
+        if i < decay_at < i + n:
+            n = decay_at - i
         nxt_print = ((i - 1) // args.print_freq + 1) * args.print_freq
         nxt_eval = ((i - 1) // args.eval_freq + 1) * args.eval_freq
         n = max(1, min(n, nxt_print - i + 1, nxt_eval - i + 1))

@@ -8,7 +8,18 @@ per-face constants once, so the inner kernel does 2 FMAs per affine value:
   w_i(x, y)    = inv[3i]x + inv[3i+1]y + inv[3i+2]          (cu:38-43)
   tv_k(x, y)   = (w . a0 - a0[v1]) / den                     (cu:150)
                = tA_k x + tB_k y + tC_k        (a0, den from the Gram matrix)
-  dot_c(x, y)  = e_c . (x, y) + o_c                          (cu:129-135)
+
+Two exact identities collapse the rest of the per-pair distance algebra
+(cu:75-165) into per-face constants:
+
+* the perpendicular foot vector u(p) = (v_{k+1} - p) + tv(p) e_k vanishes
+  on the line w_j = 0 (j = the vertex opposite edge k) and is affine in p,
+  so u = w_j * m_k for a constant 2-vector m_k  ->  the *unclamped* squared
+  edge distance is d2u_k = w_j^2 * |m_k|^2  (2 VPU ops given w);
+* u is perpendicular to e_k, so clamping the edge parameter moves the
+  closest point along e_k only:  d2c_k = d2u_k + (clip(tv)-tv)^2 |e_k|^2.
+
+For hard RGB the z-argmin key 1/zp = w . iz is affine too (dz rows).
 
 Row layout of the packed tensor (shape [B, NI, F']; SoA so a face chunk is a
 (NI, FC) VMEM block whose rows broadcast against the pixel axis):
@@ -16,15 +27,15 @@ Row layout of the packed tensor (shape [B, NI, F']; SoA so a face chunk is a
    0: xmin   1: xmax   2: ymin   3: ymax          (bbox, pre-margin)
    4-12:  inv (row-major 3x3)
   13-21:  tA0 tB0 tC0 tA1 tB1 tC1 tA2 tB2 tC2
-  22-27:  pv1x_k pv1y_k for k=0,1,2   (edge-k base point = vertex k+1)
-  28-33:  ex_k ey_k for k=0,1,2       (edge-k vector = vertex k - vertex k+1)
-  34-36:  oA oB oC                    (obtuse-region dot offsets)
-  37-39:  obt flags
+  22-27:  ex_k ey_k for k=0,1,2       (edge-k vector = vertex k - vertex k+1)
+  28-30:  |e_k|^2
+  31-36:  mx_k my_k                   (u = w_j * m_k, j = (k+2)%3)
+  37-39:  |m_k|^2
   40:     frontside flag
   41-43:  iz0 iz1 iz2                 (reciprocal vertex depths)
   44:     fvalid
-  45-47:  tex RGB (surface TS=1)  |  45-53: vertex colors (3x3)
-  54-55:  pad
+  45-47:  dzA dzB dzC                 (denom = w . iz as an affine)
+  48-..:  tex RGB (surface: 3*TS texel rows) | vertex colors (3x3)
 """
 
 from __future__ import annotations
@@ -39,11 +50,11 @@ NI_BASE = 48
 def num_rows(texture_type, TS):
     """Packed row count for a texture configuration (8-aligned).
 
-    Surface textures contribute 3*TS texel-color rows (45..); vertex
+    Surface textures contribute 3*TS texel-color rows (48..); vertex
     textures contribute 9 rows.
     """
     tex_rows = 9 if texture_type == C.TEXTURE_VERTEX else 3 * TS
-    n = 45 + tex_rows
+    n = NI_BASE + tex_rows
     return -(-n // 8) * 8
 
 
@@ -54,14 +65,15 @@ NI = 56
 R_BBOX = 0
 R_INV = 4
 R_TV = 13
-R_PV1 = 22
-R_E = 28
-R_DOT_OFF = 34
-R_OBT = 37
+R_E = 22
+R_E2 = 28
+R_M = 31
+R_MM = 37
 R_FRONT = 40
 R_IZ = 41
 R_FVALID = 44
-R_TEX = 45
+R_DZ = 45
+R_TEX = 48
 
 
 def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
@@ -105,6 +117,7 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
            for j in range(3)]
     for k in range(3):
         v0, v1 = k, (k + 1) % 3
+        vj = (k + 2) % 3  # opposite vertex: w_vj == 0 on edge k's line
         a0 = [sym[v0][i] - sym[v1][i] for i in range(3)]
         den = a0[v0] - a0[v1]
         den = jnp.where(jnp.abs(den) < 1e-20,
@@ -117,30 +130,36 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
         rows[R_TV + 3 * k + 0] = tA
         rows[R_TV + 3 * k + 1] = tB
         rows[R_TV + 3 * k + 2] = tC
-        rows[R_PV1 + 2 * k + 0] = xs[v1]
-        rows[R_PV1 + 2 * k + 1] = ys[v1]
-        rows[R_E + 2 * k + 0] = xs[v0] - xs[v1]
-        rows[R_E + 2 * k + 1] = ys[v0] - ys[v1]
-
-    # obtuse-region dots: dotA = (p-P0).(P2-P0), dotB = (p-P1).(P0-P1),
-    # dotC = (p-P2).(P1-P2); the direction vectors are e2, e0, e1
-    rows[R_DOT_OFF + 0] = -(x0 * (x2 - x0) + y0 * (y2 - y0))
-    rows[R_DOT_OFF + 1] = -(x1 * (x0 - x1) + y1 * (y0 - y1))
-    rows[R_DOT_OFF + 2] = -(x2 * (x1 - x2) + y2 * (y1 - y2))
-
-    # obtuse flags (cu:667-675)
-    def obt(ax, ay, bx, by, cx, cy):
-        return (((bx - ax) * (cx - ax) + (by - ay) * (cy - ay)) < 0)
-    rows[R_OBT + 0] = obt(x0, y0, x1, y1, x2, y2).astype(jnp.float32)
-    rows[R_OBT + 1] = obt(x1, y1, x2, y2, x0, y0).astype(jnp.float32)
-    rows[R_OBT + 2] = obt(x2, y2, x0, y0, x1, y1).astype(jnp.float32)
+        ex = xs[v0] - xs[v1]
+        ey = ys[v0] - ys[v1]
+        rows[R_E + 2 * k + 0] = ex
+        rows[R_E + 2 * k + 1] = ey
+        rows[R_E2 + k] = ex * ex + ey * ey
+        # m_k = u(p*) / w_vj(p*) evaluated at p* = v_vj (where w_vj = 1 up
+        # to rounding; dividing by the actual value self-corrects it)
+        tv_j = tA * xs[vj] + tB * ys[vj] + tC
+        ux_j = (xs[v1] - xs[vj]) + tv_j * ex
+        uy_j = (ys[v1] - ys[vj]) + tv_j * ey
+        wj_j = inv[3 * vj] * xs[vj] + inv[3 * vj + 1] * ys[vj] \
+            + inv[3 * vj + 2]
+        wj_j = jnp.where(jnp.abs(wj_j) < 1e-6, 1.0, wj_j)
+        mx = ux_j / wj_j
+        my = uy_j / wj_j
+        rows[R_M + 2 * k + 0] = mx
+        rows[R_M + 2 * k + 1] = my
+        rows[R_MM + k] = mx * mx + my * my
 
     # frontside (cu:55-58)
     rows[R_FRONT] = ((y2 - y0) * (x1 - x0)
                      < (y1 - y0) * (x2 - x0)).astype(jnp.float32)
 
+    iz = [1.0 / z for z in zs]
     for i in range(3):
-        rows[R_IZ + i] = 1.0 / zs[i]
+        rows[R_IZ + i] = iz[i]
+    # hard-RGB depth key as an affine: denom(p) = sum_i w_i(p) iz_i
+    for c in range(3):
+        rows[R_DZ + c] = (inv[0 + c] * iz[0] + inv[3 + c] * iz[1]
+                          + inv[6 + c] * iz[2])
 
     fval_f = fvalid.astype(jnp.float32)
     if fval_f.ndim == 1:
@@ -290,6 +309,31 @@ def tile(arr, image_size, tile_w, tile_h):
     a = arr.reshape(B, ty_n, tile_h, tx_n, tile_w, C)
     a = a.transpose(0, 1, 3, 2, 4, 5)
     return a.reshape(B, is_ * is_, C)
+
+
+def tile_soa(arr, image_size, tile_w, tile_h):
+    """[B, C, H*W] image order -> [B, C, T*TP] tiled pixel order.
+
+    Channel-major throughout: the kernels DMA (C, TP) slabs, and the render
+    tensors ([B, 4, H, W] images, [B, 2, H, W] aggregates) are already
+    channel-major, so no AoS<->SoA transpose ever materializes.
+    """
+    B, C = arr.shape[:2]
+    is_ = image_size
+    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    a = arr.reshape(B, C, ty_n, tile_h, tx_n, tile_w)
+    a = a.transpose(0, 1, 2, 4, 3, 5)
+    return a.reshape(B, C, is_ * is_)
+
+
+def untile_soa(arr, image_size, tile_w, tile_h):
+    """[B, C, T*TP] tiled pixel order -> [B, C, H*W] image order."""
+    B, C = arr.shape[:2]
+    is_ = image_size
+    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    a = arr.reshape(B, C, ty_n, tx_n, tile_h, tile_w)
+    a = a.transpose(0, 1, 2, 4, 3, 5)
+    return a.reshape(B, C, is_ * is_)
 
 
 def compact_hits(mask):

@@ -41,15 +41,34 @@ from gendr_tpu.raster import xla_backend as X
 
 NEG_INF = -1e30
 BIG_DEPTH = X.BIG_DEPTH
-NPIXC = 16  # padded pixel-column count for the backward kernel's DMA slabs
+
+
+def _bwd_pix_layout(cfg: C.RenderConfig):
+    """Pixel-space columns the backward kernel actually reads for a config,
+    as (n_cols, colmap): colmap keys are 'gr' (grad rgb base, 3 cols), 'ga'
+    (grad alpha), 'fr' (final rgb base, 3), 'fa' (final alpha), 'a0'/'a1'
+    (aggrs).  Shipping only live columns halves the per-tile DMA slab for
+    the alpha-only and hard-RGB configs (8 sublanes instead of 16)."""
+    if cfg.channels == 'alpha':
+        cm = dict(ga=0, fa=1)
+        n = 2
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        cm = dict(gr=0, ga=3, fa=4, a1=5)
+        n = 6
+    else:
+        cm = dict(gr=0, ga=3, fr=4, fa=7, a0=8, a1=9)
+        n = 10
+    npixc = -(-n // 8) * 8  # DMA sublane dim must be a multiple of 8
+    return n, npixc, cm
 
 # parameter-vector slots (SMEM scalar prefetch)
 (P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV) = range(11)
-NPAR = 11
+ P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2) = range(14)
+NPAR = 14
 
 
 def _params_vec(params: Dict):
+    bg = jnp.asarray(params['background_color'], jnp.float32).reshape(3)
     return jnp.stack([
         jnp.asarray(params['dist_scale'], jnp.float32),
         jnp.asarray(params['dist_shape'], jnp.float32),
@@ -65,6 +84,7 @@ def _params_vec(params: Dict):
             jnp.asarray(params['dist_shape'], jnp.float32) + 1.0)),
         jnp.exp(-jax.lax.lgamma(jnp.maximum(
             jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
+        bg[0], bg[1], bg[2],
     ])
 
 
@@ -94,7 +114,9 @@ def _alpha_chunk_update(tid, alpha, frag, p):
     if tid == C.PROBABILISTIC_TCN:
         # prod(1-b) in log space (Mosaic has no reduce_prod; a roll-butterfly
         # product measures ~25% slower end-to-end — lane rolls are costly);
-        # frag == 1 gives log1p(-1) = -inf -> keep = 0, the correct limit
+        # frag == 1 gives log1p(-1) = -inf -> keep = 0, the correct limit.
+        # (Tried: MXU _lane_dot for the sum — measured ~5% SLOWER end-to-end
+        # and 2x the compile time; Mosaic doesn't overlap it here.)
         keep = jnp.exp(jnp.sum(jnp.log1p(-frag), axis=1, keepdims=True))
         return 1.0 - (1.0 - alpha) * keep
     if tid == C.EINSTEIN_TCN:
@@ -148,24 +170,21 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # Forward pass needs only dis^2: the region decision tree
         # (cu:127-139) exists to FIND the minimizing clamped edge, so a
         # plain min over the three clamped edge distances gives the same
-        # value without the selection logic.
+        # value without the selection logic.  Per edge, two packed-constant
+        # identities do the rest (see pack.py): d2u = w_j^2 |m|^2 and
+        # d2c = d2u + (clip(tv)-tv)^2 |e|^2 (the foot vector is
+        # perpendicular to the edge).
+        ws = (w0, w1, w2)
         d2u_min = None
         d2c_min = None
         for k in range(3):
             tv = row(pack.R_TV + 3 * k) * xp \
                 + row(pack.R_TV + 3 * k + 1) * yp \
                 + row(pack.R_TV + 3 * k + 2)
-            bx = row(pack.R_PV1 + 2 * k) - xp
-            by = row(pack.R_PV1 + 2 * k + 1) - yp
-            ex = row(pack.R_E + 2 * k)
-            ey = row(pack.R_E + 2 * k + 1)
-            ux = bx + tv * ex
-            uy = by + tv * ey
-            d2u = ux * ux + uy * uy
-            tvc = jnp.clip(tv, 0.0, 1.0)
-            cx = bx + tvc * ex
-            cy = by + tvc * ey
-            d2c = cx * cx + cy * cy
+            wj = ws[(k + 2) % 3]
+            d2u = wj * wj * row(pack.R_MM + k)
+            dd = jnp.clip(tv, 0.0, 1.0) - tv
+            d2c = d2u + dd * dd * row(pack.R_E2 + k)
             d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
             d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
         dis2 = jnp.where(inside, d2u_min, d2c_min)
@@ -176,29 +195,21 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
                      par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, cull=cull)
     else:
-        tvs, dxu, dyu, d2u, dxc, dyc, tvcs, d2c = \
-            [], [], [], [], [], [], [], []
+        ws = (w0, w1, w2)
+        tvs, tvcs, dds, d2u, d2c = [], [], [], [], []
         for k in range(3):
             tv = row(pack.R_TV + 3 * k) * xp \
                 + row(pack.R_TV + 3 * k + 1) * yp \
                 + row(pack.R_TV + 3 * k + 2)
-            bx = row(pack.R_PV1 + 2 * k) - xp
-            by = row(pack.R_PV1 + 2 * k + 1) - yp
-            ex = row(pack.R_E + 2 * k)
-            ey = row(pack.R_E + 2 * k + 1)
-            ux = bx + tv * ex
-            uy = by + tv * ey
+            wj = ws[(k + 2) % 3]
             tvc = jnp.clip(tv, 0.0, 1.0)
+            dd = tvc - tv
+            u2 = wj * wj * row(pack.R_MM + k)
             tvs.append(tv)
             tvcs.append(tvc)
-            dxu.append(ux)
-            dyu.append(uy)
-            d2u.append(ux * ux + uy * uy)
-            cx = bx + tvc * ex
-            cy = by + tvc * ey
-            dxc.append(cx)
-            dyc.append(cy)
-            d2c.append(cx * cx + cy * cy)
+            dds.append(dd)
+            d2u.append(u2)
+            d2c.append(u2 + dd * dd * row(pack.R_E2 + k))
 
         # inside: first-minimum edge (cu:91-120)
         sel0 = (d2u[0] <= d2u[1]) & (d2u[0] <= d2u[2])
@@ -221,8 +232,19 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             return jnp.where(idx == 0, c[0], jnp.where(idx == 1, c[1], c[2]))
 
         ksel = jnp.where(inside, kin, vout)
-        dis_x = jnp.where(inside, sel3(kin, dxu), sel3(vout, dxc))
-        dis_y = jnp.where(inside, sel3(kin, dyu), sel3(vout, dyc))
+        # distance vector of the SELECTED feature only: u = w_j m_k for the
+        # unclamped foot, plus dd * e_k when the edge parameter clamps
+        wj_sel = sel3(ksel, (w2, w0, w1))  # (k+2)%3 per edge id
+        mx_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k) for k in range(3)))
+        my_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k + 1)
+                                  for k in range(3)))
+        dis_x = wj_sel * mx_sel
+        dis_y = wj_sel * my_sel
+        out_dd = jnp.where(inside, 0.0, sel3(ksel, dds))
+        dis_x = dis_x + out_dd * sel3(
+            ksel, tuple(row(pack.R_E + 2 * k) for k in range(3)))
+        dis_y = dis_y + out_dd * sel3(
+            ksel, tuple(row(pack.R_E + 2 * k + 1) for k in range(3)))
         tv_sel = jnp.where(inside, sel3(kin, tvs), sel3(vout, tvcs))
 
         # dis magnitude via the same min-formula as the forward fast path so
@@ -254,8 +276,8 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # the raw ones and sum to exactly 1, so zp = 1/denom.  The argmin
         # over zp becomes an argmax over denom and the [near, far] window
         # becomes denom in [1/far, 1/near] — no per-pair divide, no clips.
-        denom = (w0 * row(pack.R_IZ + 0) + w1 * row(pack.R_IZ + 1)
-                 + w2 * row(pack.R_IZ + 2))
+        denom = row(pack.R_DZ + 0) * xp + row(pack.R_DZ + 1) * yp \
+            + row(pack.R_DZ + 2)
         q['denom'] = denom
         q['zvalid'] = (denom >= 1.0 / par[P_FAR]) \
             & (denom <= 1.0 / par[P_NEAR])
@@ -320,9 +342,11 @@ def _texel_index(q, TS):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-# fwd output columns: [alpha, c1, c2, w0n, w1n, r, g, b] where for hard RGB
-# (c1, c2) = (depth, fidx) and for softmax (c1, c2) = (ssum, smax)
-NO_F = 8
+def _fwd_out_cols(cfg: C.RenderConfig):
+    """Forward output columns: [alpha] for the silhouette-only fast path,
+    else [alpha, c1, c2, r, g, b] where (c1, c2) = (depth, fidx) for hard
+    RGB and (ssum, smax) for softmax."""
+    return 1 if cfg.channels == 'alpha' else 6
 
 
 def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
@@ -334,14 +358,16 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
     early exits)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
+    NO_F = _fwd_out_cols(cfg)
 
-    if cfg.aggr_rgb_func == C.RGB_HARD:
-        col1, col2 = BIG_DEPTH, -1.0
-    else:
-        col1, col2 = 0.0, NEG_INF
     acc_ref[:, :] = jnp.zeros((TP, NO_F), jnp.float32)
-    acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
-    acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
+    if cfg.channels != 'alpha':
+        if cfg.aggr_rgb_func == C.RGB_HARD:
+            col1, col2 = BIG_DEPTH, -1.0
+        else:
+            col1, col2 = 0.0, NEG_INF
+        acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
+        acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
 
     n = count_ref[b * T_tiles + t]
     par = tuple(par_ref[i] for i in range(NPAR))
@@ -447,8 +473,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
                 better, (cid * FC + isel).astype(jnp.float32),
                 acc_ref[:, 2:3])
             for c in range(3):
-                acc_ref[:, 5 + c:6 + c] = jnp.where(
-                    better, color[c], acc_ref[:, 5 + c:6 + c])
+                acc_ref[:, 3 + c:4 + c] = jnp.where(
+                    better, color[c], acc_ref[:, 3 + c:4 + c])
         else:
             # streaming softmax (cu:824-839)
             gamma = par[P_GAMMA]
@@ -461,18 +487,23 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
             scale_old = jnp.exp((m_old - m_new) / gamma)
             wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
                              0.0)
+            acc_ref[:, 2:3] = m_new
             acc_ref[:, 1:2] = acc_ref[:, 1:2] * scale_old \
                 + jnp.sum(wexp, axis=1, keepdims=True)
-            acc_ref[:, 2:3] = m_new
             cols = _colors(row, q, cfg, TS)
             for c in range(3):
-                acc_ref[:, 5 + c:6 + c] = \
-                    acc_ref[:, 5 + c:6 + c] * scale_old \
+                acc_ref[:, 3 + c:4 + c] = \
+                    acc_ref[:, 3 + c:4 + c] * scale_old \
                     + jnp.sum(wexp * cols[c], axis=1, keepdims=True)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
-    out_ref[0, :, :] = acc_ref[:, :]
+    # emit channel-major (NO_F, TP): one VMEM transpose per tile keeps the
+    # whole epilogue SoA (no [P, C] <-> [C, P] relayout ever materializes)
+    # (Tried: folding background+finalize in-kernel here — measured ~6%
+    # SLOWER end-to-end than the SoA XLA epilogue; the per-tile concat +
+    # transpose of finalized columns costs more than it saves.)
+    out_ref[0, :, :] = jnp.transpose(acc_ref[:, :], (1, 0))
 
 
 def fallback_reason(cfg, textures):
@@ -521,9 +552,16 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     margin = pack.cull_margin(cfg, params)
     mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
     tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
-    return dict(packed=packed, perm=perm, tile_counts=tile_counts,
-                tile_ids=tile_ids, chunk_counts=chunk_counts,
-                chunk_ids=chunk_ids)
+    # inverse permutation via scatter (an argsort here would re-sort every
+    # backward step); iperm[b, perm[b, i]] = i
+    Fp = perm.shape[1]
+    iperm = jnp.zeros_like(perm).at[
+        jnp.arange(B)[:, None], perm].set(
+            jnp.broadcast_to(jnp.arange(Fp, dtype=perm.dtype)[None, :],
+                             perm.shape))
+    return dict(packed=packed, perm=perm, iperm=iperm,
+                tile_counts=tile_counts, tile_ids=tile_ids,
+                chunk_counts=chunk_counts, chunk_ids=chunk_ids)
 
 
 def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
@@ -543,16 +581,49 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
         soft, aggrs = X.forward(face_vertices, textures, finfo, cfg, params)
         return soft, aggrs, finfo
 
-    carry, aux = forward_partial(face_vertices, textures, cfg, params,
-                                 aux=aux)
-    P = cfg.image_size ** 2
-    bg = jnp.broadcast_to(
-        jnp.asarray(params['background_color'],
-                    jnp.float32).reshape(1, 1, 3), (B, P, 3))
-    carry = X.merge_carries(X.background_carry(B, P, bg, cfg, params),
-                            carry, cfg, params)
-    soft_colors, aggrs_info = X.finalize(carry, cfg)
+    out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux)
+    soft_colors, aggrs_info = _finalize_soa(out, cfg, params)
     return soft_colors, aggrs_info, aux
+
+
+def _finalize_soa(out, cfg: C.RenderConfig, params: Dict):
+    """Background fold + finalize on the channel-major kernel output
+    ([B, NO_F, P]) — semantics of X.background_carry + X.merge_carries +
+    X.finalize, without ever leaving SoA layout (the final [B, 4, H, W] is
+    a pure reshape)."""
+    B, _, P = out.shape
+    is_ = cfg.image_size
+    bg = jnp.asarray(params['background_color'],
+                     jnp.float32).reshape(1, 3, 1)
+    alpha = out[:, 0:1]  # [B, 1, P]
+    if cfg.channels == 'alpha':
+        rgb_final = jnp.broadcast_to(bg, (B, 3, P))
+        aggr0 = jnp.full((B, 1, P), BIG_DEPTH, jnp.float32)
+        aggr1 = jnp.full((B, 1, P), -1.0, jnp.float32)
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        depth = out[:, 1:2]
+        fidx = out[:, 2:3]
+        has_winner = fidx >= 0
+        rgb_final = jnp.where(has_winner, out[:, 3:6], bg)
+        aggr0, aggr1 = depth, fidx
+    else:
+        eps = params['aggr_rgb_eps']
+        gamma = params['aggr_rgb_gamma']
+        ssum_k, smax_k = out[:, 1:2], out[:, 2:3]
+        # streaming-softmax merge with the background state
+        # (smax_bg = eps, ssum_bg = exp(eps / gamma), rgb_bg = bg * ssum_bg)
+        m = jnp.maximum(eps, smax_k)
+        sa = jnp.exp((eps - m) / gamma)
+        sb = jnp.exp((smax_k - m) / gamma)
+        ssum = jnp.exp(eps / gamma) * sa + ssum_k * sb
+        rgb = bg * (jnp.exp(eps / gamma) * sa) + out[:, 3:6] * sb
+        rgb_final = rgb / ssum
+        aggr0, aggr1 = ssum, m
+    soft_colors = jnp.concatenate([rgb_final, alpha], axis=1) \
+        .reshape(B, 4, is_, is_)
+    aggrs_info = jnp.concatenate([aggr0, aggr1], axis=1) \
+        .reshape(B, 2, is_, is_)
+    return soft_colors, aggrs_info
 
 
 def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
@@ -566,6 +637,40 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
     stay in this shard's Morton-sorted space plus the offset); ``fvalid``
     ([F] bool) marks externally-padded faces.  Returns (carry, aux).
     """
+    out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux,
+                               fvalid)
+    alpha = out[:, 0]
+    if cfg.channels == 'alpha':
+        # silhouette-only: identity state everywhere but alpha
+        carry = (alpha, jnp.full_like(alpha, NEG_INF),
+                 jnp.zeros_like(alpha), jnp.zeros(alpha.shape + (3,),
+                                                  jnp.float32),
+                 jnp.full_like(alpha, BIG_DEPTH),
+                 jnp.full_like(alpha, -1).astype(jnp.int32))
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        depth = out[:, 1]
+        # NOTE: winner ids stay in Morton-sorted space throughout the pallas
+        # pipeline (aux['perm'] maps them to input order if ever needed);
+        # base_offset makes them globally unique across fp shards
+        fidx = out[:, 2].astype(jnp.int32)
+        if base_offset is not None:
+            fidx = jnp.where(fidx >= 0, fidx + base_offset, fidx)
+        rgb = out[:, 3:6].transpose(0, 2, 1)  # X carries AoS rgb
+        carry = (alpha, jnp.full_like(alpha, NEG_INF),
+                 jnp.zeros_like(alpha), rgb, depth, fidx)
+    else:
+        ssum, smax = out[:, 1], out[:, 2]
+        rgb = out[:, 3:6].transpose(0, 2, 1)
+        carry = (alpha, smax, ssum, rgb,
+                 jnp.full_like(alpha, BIG_DEPTH),
+                 jnp.full_like(alpha, -1).astype(jnp.int32))
+    return carry, aux
+
+
+def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
+                    params: Dict, aux=None, fvalid=None):
+    """Run the forward kernel; returns (out [B, NO_F, P] channel-major in
+    row-major pixel order, aux)."""
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     is_ = cfg.image_size
@@ -578,12 +683,13 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
 
     if aux is None:
         aux = _prepass(face_vertices, textures, cfg, params, fvalid)
-    packed, perm = aux['packed'], aux['perm']
+    packed = aux['packed']
     tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
     Fp = packed.shape[2]
     NI = packed.shape[1]
     K = Fp // FC
     par = _params_vec(params)
+    NO_F = _fwd_out_cols(cfg)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, tile_w=tile_w,
@@ -594,7 +700,7 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, TP, NO_F), lambda b, t, *_: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t)),
         scratch_shapes=[
             pltpu.VMEM((TP, NO_F), jnp.float32),
             pltpu.VMEM((2, NI, FC), jnp.float32),
@@ -604,33 +710,11 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, P, NO_F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, NO_F, P), jnp.float32),
         interpret=_interpret(),
     )(tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
-    # tiled pixel order -> row-major image order (transpose chain, no gather)
-    out = pack.untile(out, is_, tile_w, tile_h)
-
-    # -- build the empty-carry-compatible partial state (colors already
-    # sampled in-kernel; the background is folded in by the caller)
-    alpha = out[..., 0]
-    if cfg.aggr_rgb_func == C.RGB_HARD:
-        depth = out[..., 1]
-        # NOTE: winner ids stay in Morton-sorted space throughout the pallas
-        # pipeline (aux['perm'] maps them to input order if ever needed);
-        # base_offset makes them globally unique across fp shards
-        fidx = out[..., 2].astype(jnp.int32)
-        if base_offset is not None:
-            fidx = jnp.where(fidx >= 0, fidx + base_offset, fidx)
-        rgb = out[..., 5:8]
-        carry = (alpha, jnp.full_like(alpha, NEG_INF),
-                 jnp.zeros_like(alpha), rgb, depth, fidx)
-    else:
-        ssum, smax = out[..., 1], out[..., 2]
-        rgb = out[..., 5:8]
-        carry = (alpha, smax, ssum, rgb,
-                 jnp.full_like(alpha, BIG_DEPTH),
-                 jnp.full_like(alpha, -1).astype(jnp.int32))
-    return carry, aux
+    # tiled pixel order -> row-major image order (reshapes, no gather)
+    return pack.untile_soa(out, is_, tile_w, tile_h), aux
 
 
 def _interpret():
@@ -749,13 +833,14 @@ def _n_tex_cols(cfg, TS=1):
 
 def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 acc_ref, buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC,
-                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS):
+                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS, CM):
     """One program per face chunk; in-kernel loop over the chunk's compacted
     hit-tile list, double-buffering the pixel-space columns HBM->VMEM.
     Gradients accumulate in VMEM — deterministic, no atomics
     (cu:1054-1063's atomicAdd is the non-deterministic part we replace)."""
     b = pl.program_id(0)
     k = pl.program_id(1)
+    cm = dict(CM)  # static column map of the compacted pixel slab
 
     acc_ref[:, :] = jnp.zeros((FC, NO_B), jnp.float32)
 
@@ -822,13 +907,12 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         frag, valid = q['frag'], q['valid']
         zmask = valid & q['zvalid'] if cfg.channels != 'alpha' else valid
 
-        # pixel columns: 0-3 grad rgba, 4-7 final rgba, 8-9 aggr
-        gA = pcolm(3)
+        gA = pcolm(cm['ga'])
         if cfg.aggr_alpha_func == C.ALPHA_HARD:
             c_grad_xy = jnp.broadcast_to(gA, frag.shape)
         else:
             c_grad_xy = gA * T.aggregate_backward(
-                cfg.aggr_alpha_func, pcolm(7), frag, par[P_TCP])
+                cfg.aggr_alpha_func, pcolm(cm['fa']), frag, par[P_TCP])
         c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
 
         gz = None
@@ -837,20 +921,23 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             gtex_coef = [jnp.zeros_like(frag) for _ in range(3)]
         elif cfg.aggr_rgb_func == C.RGB_HARD:
             gidx = k * FC + lane
-            win = zmask & (pcolm(9).astype(jnp.int32) == gidx)
-            gtex_coef = [jnp.where(win, pcolm(c), 0.0) for c in range(3)]
+            win = zmask & (pcolm(cm['a1']).astype(jnp.int32) == gidx)
+            gtex_coef = [jnp.where(win, pcolm(cm['gr'] + c), 0.0)
+                         for c in range(3)]
         else:
             cmask = zmask & q['front_ok']
             zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
             zp_softmax = jnp.where(
                 cmask,
                 frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
-                                - pcolm(9)) / gamma) / pcolm(8), 0.0)
+                                - pcolm(cm['a1'])) / gamma)
+                / pcolm(cm['a0']), 0.0)
             cols = _colors(row, q, cfg, TS)
-            c_xyz = (pcolm(0) * (cols[0] - pcolm(4))
-                     + pcolm(1) * (cols[1] - pcolm(5))
-                     + pcolm(2) * (cols[2] - pcolm(6))) * zp_softmax
-            gtex_coef = [zp_softmax * pcolm(c) for c in range(3)]
+            c_xyz = (pcolm(cm['gr']) * (cols[0] - pcolm(cm['fr']))
+                     + pcolm(cm['gr'] + 1) * (cols[1] - pcolm(cm['fr'] + 1))
+                     + pcolm(cm['gr'] + 2)
+                     * (cols[2] - pcolm(cm['fr'] + 2))) * zp_softmax
+            gtex_coef = [zp_softmax * pcolm(cm['gr'] + c) for c in range(3)]
             c_grad_xy = c_grad_xy + jnp.where(
                 cmask, c_xyz / jnp.where(cmask, frag, 1.0), 0.0)
             c_z = c_xyz / gamma / (par[P_NEAR] - par[P_FAR]) \
@@ -956,32 +1043,40 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     Fp = packed.shape[2]
     NI = packed.shape[1]
     K = Fp // FC
-    iperm = jnp.argsort(perm, axis=1)  # orig face id -> sorted position
+    iperm = aux['iperm']  # orig face id -> sorted position
     par = _params_vec(params)
 
-    # pixel-space tensor: columns [g_rgba (4), final_rgba (4), aggr0, aggr1]
-    # (aggrs winner ids are in Morton-sorted space + base_offset; shift them
-    # back to this shard's local sorted space so the in-kernel winner
-    # comparison stays offset-free)
-    g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
-    fin = soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
-    ag = aggrs_info.reshape(B, 2, P).transpose(0, 2, 1)
+    # pixel-space tensor: only the columns this config's kernel reads (see
+    # _bwd_pix_layout), kept channel-major end to end — the image tensors
+    # arrive [B, C, H, W] and the kernel DMAs (C, TP) slabs, so no
+    # AoS<->SoA transpose ever materializes.  aggrs winner ids are in
+    # Morton-sorted space + base_offset; shift them back to this shard's
+    # local sorted space so the in-kernel winner comparison stays
+    # offset-free.
+    g = grad_soft_colors.reshape(B, 4, P)
+    fin = soft_colors.reshape(B, 4, P)
+    ag = aggrs_info.reshape(B, 2, P)
     if cfg.aggr_rgb_func == C.RGB_HARD and base_offset is not None:
         # winner ids are exact small ints in float32; non-winner pixels just
         # shift to another out-of-range id
         ag = jnp.concatenate(
-            [ag[..., :1], ag[..., 1:] - jnp.float32(base_offset)], axis=-1)
-    pix_cols = jnp.concatenate([g, fin, ag], axis=-1)  # [B, P, 10]
-    pix_cols = pack.tile(pix_cols, is_, tile_w, tile_h)  # tiled pixel order
-    pix_cols = pix_cols.transpose(0, 2, 1)  # SoA [B, 10, P] for aligned DMA
+            [ag[:, :1], ag[:, 1:] - jnp.float32(base_offset)], axis=1)
+    n_cols, NPIXC, cm = _bwd_pix_layout(cfg)
+    if cfg.channels == 'alpha':
+        pix_cols = jnp.concatenate([g[:, 3:4], fin[:, 3:4]], axis=1)
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        pix_cols = jnp.concatenate([g, fin[:, 3:4], ag[:, 1:2]], axis=1)
+    else:
+        pix_cols = jnp.concatenate([g, fin, ag], axis=1)
+    pix_cols = pack.tile_soa(pix_cols, is_, tile_w, tile_h)
     # sublane dim of the DMA'd slab must be a multiple of 8
-    pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - 10), (0, 0)))
+    pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - n_cols), (0, 0)))
 
     NO_B = 9 + _n_tex_cols(cfg, TS)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, NO_B=NO_B,
                                tile_w=tile_w, tile_h=tile_h, tx_n=tx_n,
-                               TS=TS)
+                               TS=TS, CM=tuple(sorted(cm.items())))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, K),

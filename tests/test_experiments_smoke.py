@@ -113,6 +113,36 @@ def test_shapenet_npz_loader(tmp_path):
     assert pairs['02691156'] == CLASS_IDS_MAP['02691156']
 
 
+@pytest.mark.slow
+def test_train_reconstruction_mock_real_tree(tmp_path):
+    """End-to-end on a generated FULL-SHAPE mock of the real ShapeNet tree
+    (13 class ids x 24 views x 64^2 rgba images x 32^3 voxels): 2 train
+    steps + 1 full multi-class eval, crossing exactly the code paths a real
+    run would (reference train_reconstruction.py:365-490)."""
+    import numpy as np
+    sys.path.insert(0, '.')
+    from experiments.train_reconstruction import CLASS_IDS_MAP
+
+    class_ids = [c for c in CLASS_IDS_MAP if not c.startswith('syn')]
+    assert len(class_ids) == 13
+    root = tmp_path / 'data'
+    d = root / 'mesh_reconstruction'
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for cid in class_ids:
+        for set_name in ('train', 'val'):
+            images = (rng.rand(2, 24, 4, 64, 64) * 255).astype(np.uint8)
+            voxels = (rng.rand(2, 32, 32, 32) > 0.7).astype(np.uint8)
+            np.savez(str(d / f'{cid}_{set_name}_images.npz'), images)
+            np.savez(str(d / f'{cid}_{set_name}_voxels.npz'), voxels)
+
+    mod = run_script(
+        'experiments/train_reconstruction.py',
+        ['--dataset-dir', str(root), '--num_iterations', '2',
+         '--batch_size', '2', '--print_freq', '1', '--eval_freq', '2',
+         '--max-eval-batches', '1', '--chain', '1'])
+
+
 def test_shape_model_parametrization():
     """The sigmoid reparametrization reproduces the template at zero
     displacement (opt_shape.py:75-87)."""
