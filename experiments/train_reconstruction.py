@@ -344,8 +344,8 @@ SYNTHETIC_CLASSES = ('syn_ellipsoid', 'syn_box', 'syn_peanut')
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--class_ids', type=str,
-                        default=','.join(CLASS_IDS_MAP.keys() - {
-                            'synthetic'}))
+                        default=','.join(c for c in CLASS_IDS_MAP
+                                         if not c.startswith('syn')))
     parser.add_argument('--image_size', type=int, default=64)
     parser.add_argument('--batch_size', type=int, default=64)
     parser.add_argument('-lr', '--learning_rate', type=float, default=1e-4)

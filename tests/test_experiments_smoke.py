@@ -41,7 +41,7 @@ def test_opt_camera_quick(tmp_path):
 @pytest.mark.slow
 def test_train_reconstruction_synthetic(tmp_path):
     run_script('experiments/train_reconstruction.py',
-               ['--quick', '--synthetic', '--image_size', '32',
+               ['--quick', '--synthetic', '--image_size', '16',
                 '--num_iterations', '4', '--batch_size', '4',
                 '--max-eval-batches', '1'])
 
@@ -139,7 +139,7 @@ def test_train_reconstruction_mock_real_tree(tmp_path):
     mod = run_script(
         'experiments/train_reconstruction.py',
         ['--dataset-dir', str(root), '--num_iterations', '2',
-         '--batch_size', '2', '--print_freq', '1', '--eval_freq', '2',
+         '--batch_size', '2', '--print_freq', '1', '--eval_freq', '3',
          '--max-eval-batches', '1', '--chain', '1'])
 
 

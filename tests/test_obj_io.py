@@ -114,3 +114,35 @@ def test_save_voxel(tmp_path):
     obj_io.save_voxel(path, vox)
     v, f = obj_io.load_obj(path)
     assert np.asarray(v).shape == (1, 3)
+
+
+def test_wrapped_uv_texture_load(tmp_path):
+    """UV coordinates > 1 wrap modulo 1 exactly like the reference
+    (load_obj.py:76) — real assets (e.g. the panda OBJ) tile textures this
+    way.  A face with vt = base + 1 must sample the identical texels as the
+    in-range face."""
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(3)
+    img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+    imageio.imsave(str(tmp_path / 'tex.png'), img)
+    with open(str(tmp_path / 'mat.mtl'), 'w') as fh:
+        fh.write('newmtl m0\nmap_Kd tex.png\n')
+
+    def write_obj(name, uv_offset):
+        path = str(tmp_path / name)
+        with open(path, 'w') as fh:
+            fh.write('mtllib mat.mtl\n')
+            fh.write('v 0 0 0\nv 1 0 0\nv 0 1 0\n')
+            for (u, vv) in [(0.1, 0.2), (0.6, 0.25), (0.3, 0.7)]:
+                fh.write(f'vt {u + uv_offset} {vv + uv_offset}\n')
+            fh.write('usemtl m0\nf 1/1 2/2 3/3\n')
+        return path
+
+    _, _, tex_base = obj_io.load_obj(write_obj('a.obj', 0.0),
+                                     load_texture=True, texture_res=3)
+    _, _, tex_wrap = obj_io.load_obj(write_obj('b.obj', 1.0),
+                                     load_texture=True, texture_res=3)
+    np.testing.assert_allclose(np.asarray(tex_wrap), np.asarray(tex_base),
+                               atol=1e-6)
+    # and the samples really came from the image, not the default white
+    assert np.asarray(tex_base).std() > 0.01
