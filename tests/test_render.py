@@ -139,6 +139,7 @@ def test_gradients_finite_difference(spec):
 
     target = np.asarray(render(fv, tex, **kw))
 
+    @jax.jit
     def loss(v):
         img = render(v, tex, **kw)
         return jnp.mean((img[:, 3] - target[:, 3] * 0.5) ** 2)
@@ -173,6 +174,7 @@ def test_texture_gradients():
     kw = dict(image_size=16, dist_func='uniform', dist_scale=0.05,
               aggr_rgb_func='softmax', face_chunk=2)
 
+    @jax.jit
     def loss(t):
         img = render(fv, t, **kw)
         return jnp.sum(img[:, :3] ** 2)
