@@ -98,37 +98,6 @@ def _tconorm_butterfly(tid, frag, p):
     return frag[:, :1]
 
 
-def _alpha_chunk_update(tid, alpha, frag, p):
-    """Fold a chunk's coverages into the alpha carry.
-
-    The common t-conorms have closed multiplicative forms (exact up to fp
-    rounding vs the reference's sequential fold):
-      probabilistic: 1 - prod(1 - b)            (cu:484-485)
-      max:           max(b)
-      einstein:      u = (1-b)/(1+b) is multiplicative under the fold
-    Everything else uses the generic butterfly reduction.
-    """
-    if tid == C.MAX_TCN:
-        return jnp.maximum(alpha,
-                           jnp.max(frag, axis=1, keepdims=True))
-    if tid == C.PROBABILISTIC_TCN:
-        # prod(1-b) in log space (Mosaic has no reduce_prod; a roll-butterfly
-        # product measures ~25% slower end-to-end — lane rolls are costly);
-        # frag == 1 gives log1p(-1) = -inf -> keep = 0, the correct limit.
-        # (Tried: MXU _lane_dot for the sum — measured ~5% SLOWER end-to-end
-        # and 2x the compile time; Mosaic doesn't overlap it here.)
-        keep = jnp.exp(jnp.sum(jnp.log1p(-frag), axis=1, keepdims=True))
-        return 1.0 - (1.0 - alpha) * keep
-    if tid == C.EINSTEIN_TCN:
-        logu = jnp.log1p(-frag) - jnp.log1p(frag)
-        u = jnp.exp(jnp.sum(logu, axis=1, keepdims=True))
-        ua = (1.0 - alpha) / (1.0 + alpha)
-        ut = ua * u
-        return (1.0 - ut) / (1.0 + ut)
-    chunk = _tconorm_butterfly(tid, frag, p)
-    return T.fold_step(tid, alpha, chunk, p)
-
-
 def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
                fwd_only=False, need_depth=True):
     """Shared per-(pixel, face) math on a (TP, FC) tile.
@@ -349,25 +318,44 @@ def _fwd_out_cols(cfg: C.RenderConfig):
     return 1 if cfg.channels == 'alpha' else 6
 
 
-def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
+def _lane_deferred_alpha(tid):
+    """True when the alpha fold can run entirely in per-lane space: the
+    chunk loop then performs ONE elementwise op per (pixel, face) pair and
+    the cross-lane reduction happens once per tile in the epilogue.  Holds
+    for folds with a per-lane sufficient statistic: max (max), product of
+    (1-b) (probabilistic), sum of log((1-b)/(1+b)) (einstein), and the hard
+    threshold (a max)."""
+    return tid in (C.ALPHA_HARD, C.MAX_TCN, C.PROBABILISTIC_TCN,
+                   C.EINSTEIN_TCN)
+
+
+def _lane_prod(x):
+    """Cross-lane product via a roll butterfly (runs once per tile)."""
+    fc = x.shape[-1]
+    h = 1
+    while h < fc:
+        x = x * pltpu.roll(x, h, axis=1)
+        h *= 2
+    return x[:, :1]
+
+
+def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
                 buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC, is_,
                 T_tiles, K, tile_w, tile_h, tx_n, TS):
     """One program per pixel tile; in-kernel loop over the tile's compacted
     hit-chunk list with double-buffered HBM->VMEM DMA (misses are never
     touched — the TPU-native replacement for the reference's per-thread
-    early exits)."""
+    early exits).
+
+    Aggregation state is carried PER LANE (TP, FC) wherever the fold admits
+    a per-lane sufficient statistic, so the chunk loop is purely elementwise
+    — no cross-lane reductions, no transcendentals for the common t-conorms
+    — and a single epilogue reduction after the loop produces the pixel
+    values.  The hard-RGB z-argmin (cu:815-822) carries per-lane
+    (best-denom, chunk-id, rgb) and resolves the cross-lane winner (with
+    the reference's first-face tie-break) once at the end."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    NO_F = _fwd_out_cols(cfg)
-
-    acc_ref[:, :] = jnp.zeros((TP, NO_F), jnp.float32)
-    if cfg.channels != 'alpha':
-        if cfg.aggr_rgb_func == C.RGB_HARD:
-            col1, col2 = BIG_DEPTH, -1.0
-        else:
-            col1, col2 = 0.0, NEG_INF
-        acc_ref[:, 1:2] = jnp.full((TP, 1), col1, jnp.float32)
-        acc_ref[:, 2:3] = jnp.full((TP, 1), col2, jnp.float32)
 
     n = count_ref[b * T_tiles + t]
     par = tuple(par_ref[i] for i in range(NPAR))
@@ -382,6 +370,12 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
     xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
     yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
     lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
+
+    tid = cfg.aggr_alpha_func
+    lane_alpha = _lane_deferred_alpha(tid)
+    hard_rgb = cfg.channels != 'alpha' and cfg.aggr_rgb_func == C.RGB_HARD
+    softmax_rgb = cfg.channels != 'alpha' \
+        and cfg.aggr_rgb_func == C.RGB_SOFTMAX
 
     def chunk_id(j):
         return ids_ref[(b * T_tiles + t) * K + j]
@@ -401,7 +395,24 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
     def _prefetch():
         start_dma(0, 0)
 
-    def body(j, _):
+    # ---- loop carry: per-lane sufficient statistics ----
+    zTF = jnp.zeros((TP, FC), jnp.float32)
+    zT1 = jnp.zeros((TP, 1), jnp.float32)
+    init = []
+    if lane_alpha:
+        init.append(jnp.ones((TP, FC), jnp.float32)
+                    if tid == C.PROBABILISTIC_TCN else zTF)
+    else:
+        init.append(zT1)  # generic fold: (TP, 1) running alpha
+    if hard_rgb:
+        init += [jnp.full((TP, FC), NEG_INF, jnp.float32),  # best denom
+                 jnp.full((TP, FC), -1.0, jnp.float32),     # its chunk id
+                 zTF, zTF, zTF]                              # its rgb
+    elif softmax_rgb:
+        init += [zT1, jnp.full((TP, 1), NEG_INF, jnp.float32),
+                 zT1, zT1, zT1]  # ssum, smax, rgb
+
+    def body(j, carry):
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < n)
@@ -419,91 +430,120 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref, acc_ref,
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
                        fwd_only=True, need_depth=cfg.channels != 'alpha')
         frag = q['frag']
+        out = []
+        it = iter(carry)
 
-        # -- alpha (cu:791-801)
-        alpha = acc_ref[:, 0:1]
-        if cfg.aggr_alpha_func == C.ALPHA_HARD:
-            alpha = jnp.maximum(
-                alpha, jnp.max(jnp.where(frag > 0.5, 1.0, 0.0), axis=1,
-                               keepdims=True))
+        # -- alpha (cu:791-801): one elementwise op per pair for the
+        # deferred folds; generic parametric folds butterfly per chunk
+        a = next(it)
+        if tid == C.ALPHA_HARD:
+            out.append(jnp.maximum(a, jnp.where(frag > 0.5, 1.0, 0.0)))
+        elif tid == C.MAX_TCN:
+            out.append(jnp.maximum(a, frag))
+        elif tid == C.PROBABILISTIC_TCN:
+            out.append(a * (1.0 - frag))
+        elif tid == C.EINSTEIN_TCN:
+            out.append(a + jnp.log1p(-frag) - jnp.log1p(frag))
         else:
-            alpha = _alpha_chunk_update(cfg.aggr_alpha_func, alpha, frag,
-                                        par[P_TCP])
-        acc_ref[:, 0:1] = alpha
+            chunk = _tconorm_butterfly(tid, frag, par[P_TCP])
+            out.append(T.fold_step(tid, a, chunk, par[P_TCP]))
 
-        if cfg.channels == 'alpha':
-            pass  # silhouette-only: depth/RGB skipped entirely
-        elif cfg.aggr_rgb_func == C.RGB_HARD:
-            # z-argmin as a denom argmax (zp = 1/denom for inside-loose
-            # pixels, see _pair_math) with first-face tie-break (cu:815-822)
+        if hard_rgb:
+            # z-argmin as a per-lane denom argmax (zp = 1/denom for
+            # inside-loose pixels, see _pair_math); strict > keeps the
+            # earlier (lower-id) chunk on ties, matching cu:815-822
+            dbest, cidb, cr, cg, cb = next(it), next(it), next(it), \
+                next(it), next(it)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
-            dm = jnp.where(hmask, q['denom'], -jnp.inf)
-            dmax = jnp.max(dm, axis=1, keepdims=True)
-            # the hmask in the tie-break guards the empty case: all-(-inf)
-            # lanes satisfy dm == dmax, and zmin = 1/-inf = -0.0 would pass
-            # the `better` depth test below
-            isel = jnp.min(jnp.where(hmask & (dm == dmax), lane, FC),
-                           axis=1, keepdims=True)
-            win = lane == isel
-            zmin = 1.0 / dmax  # (TP, 1): one divide per pixel per chunk
-
-            def wsel(x):
-                return jnp.sum(jnp.where(win, x, 0.0), axis=1,
-                               keepdims=True)
-
-            # winner color sampled in-kernel (the XLA gather epilogue costs
-            # ~0.5 ms per 256^2 image)
+            dm = jnp.where(hmask, q['denom'], NEG_INF)
+            better = dm > dbest
             if cfg.texture_type == C.TEXTURE_VERTEX:
-                # winner is inside-loose: raw barycentrics are normalized
-                tj = [[wsel(row(pack.R_TEX + 3 * jv + c)) for c in range(3)]
-                      for jv in range(3)]
-                w0n = wsel(q['w'][0])
-                w1n = wsel(q['w'][1])
-                w2n = 1.0 - w0n - w1n
-                color = [w0n * tj[0][c] + w1n * tj[1][c] + w2n * tj[2][c]
+                # inside-loose: raw barycentrics are already normalized
+                w0, w1 = q['w'][0], q['w'][1]
+                w2 = 1.0 - w0 - w1
+                color = [w0 * row(pack.R_TEX + c) + w1 * row(pack.R_TEX
+                         + 3 + c) + w2 * row(pack.R_TEX + 6 + c)
                          for c in range(3)]
             elif TS == 1:
-                color = [wsel(row(pack.R_TEX + c)) for c in range(3)]
+                color = [jnp.broadcast_to(row(pack.R_TEX + c), frag.shape)
+                         for c in range(3)]
             else:
-                cols = _colors(row, q, cfg, TS)
-                color = [wsel(cols[c]) for c in range(3)]
-            better = (zmin < acc_ref[:, 1:2]) & (isel < FC)
-            acc_ref[:, 1:2] = jnp.where(better, zmin, acc_ref[:, 1:2])
-            acc_ref[:, 2:3] = jnp.where(
-                better, (cid * FC + isel).astype(jnp.float32),
-                acc_ref[:, 2:3])
-            for c in range(3):
-                acc_ref[:, 3 + c:4 + c] = jnp.where(
-                    better, color[c], acc_ref[:, 3 + c:4 + c])
-        else:
+                color = _colors(row, q, cfg, TS)
+            cidf = cid.astype(jnp.float32)
+            out += [jnp.where(better, dm, dbest),
+                    jnp.where(better, cidf, cidb),
+                    jnp.where(better, color[0], cr),
+                    jnp.where(better, color[1], cg),
+                    jnp.where(better, color[2], cb)]
+        elif softmax_rgb:
             # streaming softmax (cu:824-839)
+            ssum, smax, sr, sg, sb = next(it), next(it), next(it), \
+                next(it), next(it)
             gamma = par[P_GAMMA]
             cmask = q['valid'] & q['zvalid'] & q['front_ok']
             zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
             zn = jnp.where(cmask, zp_norm, NEG_INF)
             mc = jnp.max(zn, axis=1, keepdims=True)
-            m_old = acc_ref[:, 2:3]
-            m_new = jnp.maximum(m_old, mc)
-            scale_old = jnp.exp((m_old - m_new) / gamma)
+            m_new = jnp.maximum(smax, mc)
+            scale_old = jnp.exp((smax - m_new) / gamma)
             wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
                              0.0)
-            acc_ref[:, 2:3] = m_new
-            acc_ref[:, 1:2] = acc_ref[:, 1:2] * scale_old \
-                + jnp.sum(wexp, axis=1, keepdims=True)
             cols = _colors(row, q, cfg, TS)
-            for c in range(3):
-                acc_ref[:, 3 + c:4 + c] = \
-                    acc_ref[:, 3 + c:4 + c] * scale_old \
-                    + jnp.sum(wexp * cols[c], axis=1, keepdims=True)
-        return 0
+            out += [ssum * scale_old + jnp.sum(wexp, axis=1, keepdims=True),
+                    m_new,
+                    sr * scale_old + jnp.sum(wexp * cols[0], axis=1,
+                                             keepdims=True),
+                    sg * scale_old + jnp.sum(wexp * cols[1], axis=1,
+                                             keepdims=True),
+                    sb * scale_old + jnp.sum(wexp * cols[2], axis=1,
+                                             keepdims=True)]
+        return tuple(out)
 
-    jax.lax.fori_loop(0, n, body, 0)
+    final = jax.lax.fori_loop(0, n, body, tuple(init))
+
+    # ---- epilogue: one cross-lane reduction per tile ----
+    it = iter(final)
+    a = next(it)
+    if tid in (C.ALPHA_HARD, C.MAX_TCN):
+        alpha = jnp.max(a, axis=1, keepdims=True)
+    elif tid == C.PROBABILISTIC_TCN:
+        alpha = 1.0 - _lane_prod(a)
+    elif tid == C.EINSTEIN_TCN:
+        u = jnp.exp(jnp.sum(a, axis=1, keepdims=True))
+        alpha = (1.0 - u) / (1.0 + u)
+    else:
+        alpha = a
+
+    if cfg.channels == 'alpha':
+        cols = [alpha]
+    elif hard_rgb:
+        dbest, cidb, cr, cg, cb = next(it), next(it), next(it), next(it), \
+            next(it)
+        dmax = jnp.max(dbest, axis=1, keepdims=True)
+        any_v = dmax > NEG_INF
+        gid = cidb * FC + lane.astype(jnp.float32)
+        tie = dbest == dmax
+        gsel = jnp.min(jnp.where(tie, gid, 3e30), axis=1, keepdims=True)
+        win = tie & (gid == gsel)
+
+        def wsel(x):
+            return jnp.sum(jnp.where(win, x, 0.0), axis=1, keepdims=True)
+
+        cols = [alpha,
+                jnp.where(any_v, 1.0 / dmax, BIG_DEPTH),
+                jnp.where(any_v, gsel, -1.0),
+                wsel(cr), wsel(cg), wsel(cb)]
+    else:
+        ssum, smax, sr, sg, sb = next(it), next(it), next(it), next(it), \
+            next(it)
+        cols = [alpha, ssum, smax, sr, sg, sb]
+
     # emit channel-major (NO_F, TP): one VMEM transpose per tile keeps the
     # whole epilogue SoA (no [P, C] <-> [C, P] relayout ever materializes)
     # (Tried: folding background+finalize in-kernel here — measured ~6%
     # SLOWER end-to-end than the SoA XLA epilogue; the per-tile concat +
     # transpose of finalized columns costs more than it saves.)
-    out_ref[0, :, :] = jnp.transpose(acc_ref[:, :], (1, 0))
+    out_ref[0, :, :] = jnp.transpose(jnp.concatenate(cols, axis=1), (1, 0))
 
 
 def fallback_reason(cfg, textures):
@@ -702,7 +742,6 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
         ],
         out_specs=pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t)),
         scratch_shapes=[
-            pltpu.VMEM((TP, NO_F), jnp.float32),
             pltpu.VMEM((2, NI, FC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
