@@ -274,6 +274,14 @@ def main():
                 n_runs += 1
                 if res < best[2]:
                     best = [lr, sigma, res]
+        if best[0] is None:
+            # steps_to_threshold and no setting ever crossed the threshold
+            # (the reference would crash on log10(None) here): report the
+            # miss instead of refining around nothing
+            print({f'{args.criterion}_{views}': 'not reached',
+                   'loss_threshold': args.loss_threshold})
+            results[views] = best
+            continue
         if not args.quick:
             rng = np.logspace(math.log10(best[1]) - 1,
                               math.log10(best[1]) + 1, 21)

@@ -113,6 +113,29 @@ DIST_PARAMS = {
 
 MATRIX_TCNS = [('probabilistic', 0.0), ('yager', 2.0), ('hamacher', 0.5)]
 
+# Default-tier matrix subset: one representative per distribution FAMILY of
+# the kernel's CDF dispatch (compact support, erf-based, heavy tail, Kummer
+# series, erfc, asymmetric-shifted) so every numeric regime stays covered on
+# every run; the full 18-dist cross product is the `exhaustive` tier
+# (GENDR_EXHAUSTIVE=1; validated in full before each round's submission).
+DEFAULT_MATRIX_DISTS = {'uniform', 'gaussian', 'cauchy', 'gamma', 'levy',
+                        'gumbel_max', 'hard'}
+
+
+def _matrix_params(values, default_set):
+    """Wrap parametrize values: combos outside the default tier get the
+    `exhaustive` marker (skipped unless GENDR_EXHAUSTIVE=1)."""
+    out = []
+    for v in values:
+        key = v if isinstance(v, str) else v[0]
+        if key in default_set:
+            out.append(v)
+        else:
+            out.append(pytest.param(
+                *((v,) if isinstance(v, str) else v),
+                marks=pytest.mark.exhaustive))
+    return out
+
 
 def _assert_mostly_close(got, want, atol, rtol, max_flip_frac=0.02,
                          flip_cap_frac=0.03):
@@ -182,20 +205,27 @@ def _pallas_vs_xla(dist, tcn, p, rgb, extra=None, seed=11):
                          max_flip_frac=0.08, flip_cap_frac=0.05)
 
 
-@pytest.mark.parametrize('dist', ALL_DISTS)
-@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+@pytest.mark.parametrize('dist', _matrix_params(ALL_DISTS,
+                                                DEFAULT_MATRIX_DISTS))
+@pytest.mark.parametrize('rgb', _matrix_params(['hard', 'softmax'],
+                                               {'softmax'}))
 def test_pallas_dist_matrix(dist, rgb):
     """All 18 distribution ids through the pallas kernels, fwd + bwd, both
-    RGB modes (probabilistic t-conorm)."""
+    RGB modes (probabilistic t-conorm).  Default tier: representative dists
+    x softmax (hard-RGB parity runs in the CONFIGS specs above); the full
+    cross product is the exhaustive tier."""
     _pallas_vs_xla(dist, 'probabilistic', 0.0, rgb,
                    extra=DIST_PARAMS.get(dist))
 
 
-@pytest.mark.parametrize('dist', ALL_DISTS)
+@pytest.mark.parametrize('dist', _matrix_params(ALL_DISTS,
+                                                {'uniform', 'gamma'}))
 @pytest.mark.parametrize('tcn,p', MATRIX_TCNS[1:])
 def test_pallas_dist_tcn_matrix(dist, tcn, p):
     """All 18 distribution ids x the parametric t-conorms (yager p=2,
-    hamacher p=0.5) through the generic butterfly fold path."""
+    hamacher p=0.5) through the generic butterfly fold path.  Default tier:
+    one compact-support + one series CDF per t-conorm (the fold logic is
+    dist-independent); full cross product in the exhaustive tier."""
     _pallas_vs_xla(dist, tcn, p, 'hard', extra=DIST_PARAMS.get(dist))
 
 
@@ -263,6 +293,39 @@ def test_pallas_max_tconorm_finite_difference():
     l0 = float(loss(jnp.asarray(fv)))
     l1 = float(loss(jnp.asarray(fv) - 0.05 * g / (np.abs(g).max() + 1e-9)))
     assert l1 < l0
+
+
+def test_pallas_max_tconorm_agreement_over_seeds():
+    """Distribution-over-seeds check of pallas-vs-XLA max-t-conorm
+    gradients: the single-scene test above allows bulk (>0.7) agreement per
+    scene because exact-equality winner detection (cu:574-575) can flip a
+    within-an-ulp pair between the two recompute paths.  A SYSTEMATIC
+    tie-break divergence would depress agreement on every seed; ulp flips
+    are rare and isolated, so the across-seed mean stays near 1."""
+    from gendr_tpu.raster.render import render
+    tex = np.ones((1, 5, 1, 3), np.float32)
+    kw = dict(image_size=16, dist_func='logistic', dist_scale=0.1,
+              aggr_alpha_func='max', aggr_rgb_func='hard', face_chunk=8)
+
+    @jax.jit
+    def grad_p(v):
+        return jax.grad(lambda v: jnp.mean(
+            render(v, tex, backend='pallas', **kw)[:, 3] ** 2))(v)
+
+    @jax.jit
+    def grad_x(v):
+        return jax.grad(lambda v: jnp.mean(
+            render(v, tex, backend='xla', **kw)[:, 3] ** 2))(v)
+
+    fracs = []
+    for seed in range(10):
+        fv = jnp.asarray(random_scene(np.random.RandomState(seed), B=1, F=5))
+        g, g_x = np.asarray(grad_p(fv)), np.asarray(grad_x(fv))
+        fracs.append(np.isclose(g, g_x, atol=1e-5, rtol=1e-3).mean())
+    fracs = np.asarray(fracs)
+    # every seed must bulk-agree; the ensemble must agree almost everywhere
+    assert fracs.min() > 0.7, fracs
+    assert fracs.mean() > 0.95, fracs
 
 
 def test_pallas_vertex_textures():

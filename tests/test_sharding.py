@@ -30,9 +30,15 @@ def mesh22():
     return S.make_mesh({'dp': 2, 'fp': 2})
 
 
-@pytest.mark.parametrize('backend', ['xla', 'pallas'])
-@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+@pytest.mark.parametrize('backend', [
+    'xla', pytest.param('pallas', marks=pytest.mark.exhaustive)])
+@pytest.mark.parametrize('rgb', [
+    'hard', pytest.param('softmax', marks=pytest.mark.exhaustive)])
 def test_sharded_forward_matches(mesh, mesh22, rgb, backend):
+    # default tier: hard-xla only; the pallas/softmax corners run in the
+    # exhaustive tier (GENDR_EXHAUSTIVE=1) and are subsumed by
+    # test_sharded_gradients_match[softmax-pallas], which runs the same
+    # forward under grad
     if backend == 'pallas':
         mesh = mesh22
     B, F = (4, 37) if backend == 'xla' else (2, 21)
@@ -57,9 +63,14 @@ def test_sharded_forward_matches(mesh, mesh22, rgb, backend):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize('backend', ['xla', 'pallas'])
-@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+@pytest.mark.parametrize('backend', [
+    pytest.param('xla', marks=pytest.mark.exhaustive), 'pallas'])
+@pytest.mark.parametrize('rgb', [
+    pytest.param('hard', marks=pytest.mark.exhaustive), 'softmax'])
 def test_sharded_gradients_match(mesh, mesh22, rgb, backend):
+    # default tier: softmax-pallas (the fullest path: production kernels,
+    # fp carry merge, streaming-softmax z-chain, grads); other corners are
+    # exhaustive-tier
     if backend == 'pallas':
         mesh = mesh22
     B, F = (4, 21) if backend == 'xla' else (2, 13)
@@ -93,7 +104,9 @@ def test_sharded_gradients_match(mesh, mesh22, rgb, backend):
                                    atol=2e-5, rtol=1e-3)
 
 
-@pytest.mark.parametrize('tcn,p', [('yager', 2.0), ('max', 0.0)])
+@pytest.mark.parametrize('tcn,p', [
+    pytest.param('yager', 2.0, marks=pytest.mark.exhaustive),
+    ('max', 0.0)])
 def test_sharded_pallas_exotic_tconorms(mesh22, tcn, p):
     """Generic-butterfly and max t-conorm folds must also survive the
     cross-shard carry merge on the pallas path."""
