@@ -28,6 +28,9 @@ def main():
     ap.add_argument('--pixel-tile', type=int, default=256)
     ap.add_argument('--level', type=int, default=3,
                     help='icosphere subdivision level (3 = 1280 faces)')
+    ap.add_argument('--compute-dtype', default='f32',
+                    help="f32 (parity, the headline) | bf16 (opt-in packed "
+                         "per-pair algebra; see docs/DESIGN.md)")
     ap.add_argument('--allow-fallback', action='store_true',
                     help='fall back to the XLA backend if the pallas path '
                          'fails at runtime (default: fail loudly — a '
@@ -64,7 +67,7 @@ def main():
     kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
               aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
               backend=backend, face_chunk=args.face_chunk,
-              pixel_tile=args.pixel_tile)
+              pixel_tile=args.pixel_tile, compute_dtype=args.compute_dtype)
 
     def loss(fv_, tex_):
         img = render(fv_, tex_, **kw)
@@ -137,7 +140,9 @@ def main():
 
     print(json.dumps({
         'metric': f'Mpixel-triangle tests/sec fwd+bwd {is_}^2 {F}f '
-                  f'({backend})',
+                  f'({backend}'
+                  + (f', {args.compute_dtype}' if args.compute_dtype != 'f32'
+                     else '') + ')',
         'value': round(mpairs_per_s, 1),
         'unit': 'Mpair/s',
         'vs_baseline': round(mpairs_per_s / target, 3),

@@ -148,14 +148,25 @@ class RenderConfig:
     # or a non-128-tileable image size on real TPUs): 'silent' routes to the
     # XLA backend, 'warn' additionally emits a RuntimeWarning, 'error' raises
     on_fallback: str = 'silent'
+    # 'f32' (default, reference-parity numerics) or 'bf16': the pallas
+    # FORWARD kernel computes the per-pair distance/coverage math in
+    # bfloat16 (2x VPU packing, half the packed-constant DMA bytes).
+    # Opt-in: bf16 quantizes barycentric magnitudes to ~2^-8 relative, so
+    # silhouette boundaries move by O(0.1) px at 256^2 — fine for
+    # large-tau silhouette losses and throughput-critical serving, wrong
+    # for tight-tolerance pose gradients (see docs/DESIGN.md).  Backward
+    # always runs f32.
+    compute_dtype: str = 'f32'
 
     @classmethod
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
                face_chunk=128, pixel_tile=256,
-               channels='rgba', on_fallback='silent') -> 'RenderConfig':
+               channels='rgba', on_fallback='silent',
+               compute_dtype='f32') -> 'RenderConfig':
         assert on_fallback in ('silent', 'warn', 'error'), on_fallback
+        assert compute_dtype in ('f32', 'bf16'), compute_dtype
         return cls(
             image_size=int(image_size),
             dist_func=resolve(dist_func, DIST_FUNC_MAP),
@@ -169,6 +180,7 @@ class RenderConfig:
             pixel_tile=int(pixel_tile),
             channels=channels,
             on_fallback=on_fallback,
+            compute_dtype=compute_dtype,
         )
 
 

@@ -122,16 +122,19 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
         + row(pack.R_INV + 8)
 
+    # the three barycentric rows sum to 1 by construction (pack.py emits
+    # them from one inverse matrix), so all w_i > 0 already implies every
+    # w_i < 1: the upper test is redundant and the wmax chain is dead —
+    # ~6 fewer VPU ops on every (pixel, face) pair in both kernels
     wmin = jnp.minimum(jnp.minimum(w0, w1), w2)
-    wmax = jnp.maximum(jnp.maximum(w0, w1), w2)
-    inside = (wmin > 0) & (wmax < 1)
-    in_loose = (wmin >= 0) & (wmax <= 1)
+    inside = wmin > 0
+    in_loose = wmin >= 0
 
     q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose)
 
     if cfg.dist_func == C.HEAVISIDE:
         frag = jnp.where(in_loose, 1.0, 0.0)
-        zero = jnp.zeros_like(w0)
+        zero = jnp.zeros(w0.shape, jnp.float32)
         q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
                  dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
                  cull=jnp.zeros_like(inside))
@@ -156,7 +159,9 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             d2c = d2u + dd * dd * row(pack.R_E2 + k)
             d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
             d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
-        dis2 = jnp.where(inside, d2u_min, d2c_min)
+        # bf16 mode: the algebra above ran packed; the CDF chain and the
+        # aggregation fold stay f32 (one upcast per pair)
+        dis2 = jnp.where(inside, d2u_min, d2c_min).astype(jnp.float32)
         cull = (~inside) & (dis2 >= thr)
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
         sign = jnp.where(inside, 1.0, -1.0)
@@ -223,13 +228,16 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             inside,
             jnp.minimum(jnp.minimum(d2u[0], d2u[1]), d2u[2]),
             jnp.minimum(jnp.minimum(d2c[0], d2c[1]), d2c[2]))
+        dis2 = dis2.astype(jnp.float32)
         cull = (~inside) & (dis2 >= thr)
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
                      par[P_SHIFT], gamma_inv1=par[P_GINV1])
-        q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
-                 tv=tv_sel, ksel=ksel, cull=cull)
+        q.update(sign=sign, dis=dis,
+                 dis_x=dis_x.astype(jnp.float32),
+                 dis_y=dis_y.astype(jnp.float32),
+                 tv=tv_sel.astype(jnp.float32), ksel=ksel, cull=cull)
 
     valid = (~q['cull']) & (frag > 1e-6) & (row(pack.R_FVALID) > 0)
     frag = jnp.where(valid, frag, 0.0)
@@ -369,6 +377,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     pcol = tx * tile_w + lc
     xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
     yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+    if cfg.compute_dtype == 'bf16':
+        xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
 
     tid = cfg.aggr_alpha_func
@@ -592,6 +602,11 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     margin = pack.cull_margin(cfg, params)
     mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
     tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
+    if cfg.compute_dtype == 'bf16':
+        # opt-in serving mode: per-pair algebra in bfloat16 (2x VPU packing,
+        # half the packed-constant DMA); the cull lists above are built from
+        # the f32 constants, CDF/aggregation/gradient chains stay f32
+        packed = packed.astype(jnp.bfloat16)
     # inverse permutation via scatter (an argsort here would re-sort every
     # backward step); iperm[b, perm[b, i]] = i
     Fp = perm.shape[1]
@@ -742,7 +757,9 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
         ],
         out_specs=pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t)),
         scratch_shapes=[
-            pltpu.VMEM((2, NI, FC), jnp.float32),
+            pltpu.VMEM((2, NI, FC),
+                       jnp.bfloat16 if cfg.compute_dtype == 'bf16'
+                       else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -929,6 +946,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         pcol = tx * tile_w + lc
         xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
         yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+        if cfg.compute_dtype == 'bf16':
+            xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
 
         # one lanes->sublanes transpose per tile load
         pix_t = jnp.transpose(buf_ref[slot, :, :], (1, 0))  # (TP, NPIXC)
