@@ -49,12 +49,11 @@ def _bwd_pix_layout(cfg: C.RenderConfig):
     (grad alpha), 'fr' (final rgb base, 3), 'fa' (final alpha), 'a0'/'a1'
     (aggrs).  Shipping only live columns halves the per-tile DMA slab for
     the alpha-only and hard-RGB configs (8 sublanes instead of 16)."""
-    if cfg.channels == 'alpha':
+    if cfg.channels == 'alpha' or cfg.aggr_rgb_func == C.RGB_HARD:
+        # hard RGB reads the same slab as alpha-only: its texture grads are
+        # a deferred XLA segment-sum (see _hard_tex_grad), never in-kernel
         cm = dict(ga=0, fa=1)
         n = 2
-    elif cfg.aggr_rgb_func == C.RGB_HARD:
-        cm = dict(gr=0, ga=3, fa=4, a1=5)
-        n = 6
     else:
         cm = dict(gr=0, ga=3, fr=4, fa=7, a0=8, a1=9)
         n = 10
@@ -169,8 +168,19 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
                      par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, cull=cull)
     else:
+        # Per edge, fold the inside/outside cases elementwise up front:
+        # inside pairs rank edges by the unclamped foot distance
+        # (cu:91-120), outside pairs by the clamped-segment distance
+        # (cu:127-139, whose obtuse-vertex decision chain exists only to
+        # FIND the boundary-attaining edge — a first-minimum argmin over the
+        # clamped distances selects the same closest feature with no
+        # dot/obtuse algebra; at corner regions two edges tie, but both
+        # clamp to the SAME corner point with identical dis_x/dis_y and
+        # tv in {0, 1}, so gradients don't depend on which tie wins).
+        # Folding first means ONE argmin chain and ONE tv table below
+        # instead of separate inside/outside selection trees.
         ws = (w0, w1, w2)
-        tvs, tvcs, dds, d2u, d2c = [], [], [], [], []
+        tvs, dds, d2sel = [], [], []
         for k in range(3):
             tv = row(pack.R_TV + 3 * k) * xp \
                 + row(pack.R_TV + 3 * k + 1) * yp \
@@ -179,33 +189,17 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             tvc = jnp.clip(tv, 0.0, 1.0)
             dd = tvc - tv
             u2 = wj * wj * row(pack.R_MM + k)
-            tvs.append(tv)
-            tvcs.append(tvc)
+            c2 = u2 + dd * dd * row(pack.R_E2 + k)
+            tvs.append(jnp.where(inside, tv, tvc))
             dds.append(dd)
-            d2u.append(u2)
-            d2c.append(u2 + dd * dd * row(pack.R_E2 + k))
+            d2sel.append(jnp.where(inside, u2, c2))
 
-        # inside: first-minimum edge (cu:91-120)
-        sel0 = (d2u[0] <= d2u[1]) & (d2u[0] <= d2u[2])
-        sel1 = (~sel0) & (d2u[1] <= d2u[2])
-        kin = jnp.where(sel0, 0, jnp.where(sel1, 1, 2))
-
-        # outside: the reference's region decision chain (cu:127-139, with
-        # obtuse-vertex corrections) exists to FIND the edge whose clamped
-        # segment attains the triangle-boundary distance; a first-minimum
-        # argmin over the three clamped distances selects the same closest
-        # feature with no dot/obtuse algebra.  At corner regions two edges
-        # tie, but both clamp to the SAME corner point (identical dis_x,
-        # dis_y) and route the full weight to the same vertex via tv in
-        # {0, 1}, so gradients are unchanged regardless of which ties wins.
-        sel0c = (d2c[0] <= d2c[1]) & (d2c[0] <= d2c[2])
-        sel1c = (~sel0c) & (d2c[1] <= d2c[2])
-        vout = jnp.where(sel0c, 0, jnp.where(sel1c, 1, 2))
+        sel0 = (d2sel[0] <= d2sel[1]) & (d2sel[0] <= d2sel[2])
+        sel1 = (~sel0) & (d2sel[1] <= d2sel[2])
+        ksel = jnp.where(sel0, 0, jnp.where(sel1, 1, 2))
 
         def sel3(idx, c):
             return jnp.where(idx == 0, c[0], jnp.where(idx == 1, c[1], c[2]))
-
-        ksel = jnp.where(inside, kin, vout)
         # distance vector of the SELECTED feature only: u = w_j m_k for the
         # unclamped foot, plus dd * e_k when the edge parameter clamps
         wj_sel = sel3(ksel, (w2, w0, w1))  # (k+2)%3 per edge id
@@ -219,15 +213,12 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             ksel, tuple(row(pack.R_E + 2 * k) for k in range(3)))
         dis_y = dis_y + out_dd * sel3(
             ksel, tuple(row(pack.R_E + 2 * k + 1) for k in range(3)))
-        tv_sel = jnp.where(inside, sel3(kin, tvs), sel3(vout, tvcs))
+        tv_sel = sel3(ksel, tvs)
 
         # dis magnitude via the same min-formula as the forward fast path so
         # recomputed coverages match the forward bitwise (the max t-conorm
         # backward detects its winner by exact equality, cu:574-575)
-        dis2 = jnp.where(
-            inside,
-            jnp.minimum(jnp.minimum(d2u[0], d2u[1]), d2u[2]),
-            jnp.minimum(jnp.minimum(d2c[0], d2c[1]), d2c[2]))
+        dis2 = jnp.minimum(jnp.minimum(d2sel[0], d2sel[1]), d2sel[2])
         dis2 = dis2.astype(jnp.float32)
         cull = (~inside) & (dis2 >= thr)
         dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
@@ -302,10 +293,9 @@ def _colors(row, q, cfg: C.RenderConfig, TS=1):
     return cols
 
 
-def _texel_index(q, TS):
-    """surface_texel_index (cu:178-185) on the (TP, FC) tile."""
+def _texel_index_from_w(w0, w1, TS):
+    """surface_texel_index (cu:178-185), elementwise on any shape."""
     R = int(round(TS ** 0.5))
-    w0, w1 = q['wcn'][0], q['wcn'][1]
     w_x = jnp.floor(w0 * R).astype(jnp.int32)
     w_y = jnp.floor(w1 * R).astype(jnp.int32)
     lower = (w0 + w1) * R - w_x.astype(jnp.float32) \
@@ -315,15 +305,25 @@ def _texel_index(q, TS):
     return jnp.clip(idx, 0, TS - 1)
 
 
+def _texel_index(q, TS):
+    """surface_texel_index on the (TP, FC) tile."""
+    return _texel_index_from_w(q['wcn'][0], q['wcn'][1], TS)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_out_cols(cfg: C.RenderConfig):
+def _fwd_out_cols(cfg: C.RenderConfig, TS=1):
     """Forward output columns: [alpha] for the silhouette-only fast path,
-    else [alpha, c1, c2, r, g, b] where (c1, c2) = (depth, fidx) for hard
-    RGB and (ssum, smax) for softmax."""
-    return 1 if cfg.channels == 'alpha' else 6
+    [alpha, depth, fidx] for hard RGB (the color is ALWAYS an epilogue
+    gather keyed on fidx — the chunk loop never touches textures), else
+    [alpha, ssum, smax, r, g, b] for softmax RGB."""
+    if cfg.channels == 'alpha':
+        return 1
+    if cfg.aggr_rgb_func == C.RGB_HARD:
+        return 3
+    return 6
 
 
 def _lane_deferred_alpha(tid):
@@ -416,8 +416,7 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         init.append(zT1)  # generic fold: (TP, 1) running alpha
     if hard_rgb:
         init += [jnp.full((TP, FC), NEG_INF, jnp.float32),  # best denom
-                 jnp.full((TP, FC), -1.0, jnp.float32),     # its chunk id
-                 zTF, zTF, zTF]                              # its rgb
+                 jnp.full((TP, FC), -1.0, jnp.float32)]     # its chunk id
     elif softmax_rgb:
         init += [zT1, jnp.full((TP, 1), NEG_INF, jnp.float32),
                  zT1, zT1, zT1]  # ssum, smax, rgb
@@ -435,8 +434,10 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
-        need_wcn = (cfg.channels != 'alpha'
-                    and (cfg.texture_type == C.TEXTURE_VERTEX or TS > 1))
+        # only the in-kernel (softmax) color path needs normalized
+        # barycentrics; hard-RGB sampling happens in the XLA epilogue
+        need_wcn = softmax_rgb and (cfg.texture_type == C.TEXTURE_VERTEX
+                                    or TS > 1)
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
                        fwd_only=True, need_depth=cfg.channels != 'alpha')
         frag = q['frag']
@@ -461,30 +462,16 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         if hard_rgb:
             # z-argmin as a per-lane denom argmax (zp = 1/denom for
             # inside-loose pixels, see _pair_math); strict > keeps the
-            # earlier (lower-id) chunk on ties, matching cu:815-822
-            dbest, cidb, cr, cg, cb = next(it), next(it), next(it), \
-                next(it), next(it)
+            # earlier (lower-id) chunk on ties, matching cu:815-822.
+            # Color is NOT carried: the winner id is resolved in the
+            # epilogue and the texture sample is an XLA gather afterwards
+            dbest, cidb = next(it), next(it)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
             dm = jnp.where(hmask, q['denom'], NEG_INF)
             better = dm > dbest
-            if cfg.texture_type == C.TEXTURE_VERTEX:
-                # inside-loose: raw barycentrics are already normalized
-                w0, w1 = q['w'][0], q['w'][1]
-                w2 = 1.0 - w0 - w1
-                color = [w0 * row(pack.R_TEX + c) + w1 * row(pack.R_TEX
-                         + 3 + c) + w2 * row(pack.R_TEX + 6 + c)
-                         for c in range(3)]
-            elif TS == 1:
-                color = [jnp.broadcast_to(row(pack.R_TEX + c), frag.shape)
-                         for c in range(3)]
-            else:
-                color = _colors(row, q, cfg, TS)
             cidf = cid.astype(jnp.float32)
             out += [jnp.where(better, dm, dbest),
-                    jnp.where(better, cidf, cidb),
-                    jnp.where(better, color[0], cr),
-                    jnp.where(better, color[1], cg),
-                    jnp.where(better, color[2], cb)]
+                    jnp.where(better, cidf, cidb)]
         elif softmax_rgb:
             # streaming softmax (cu:824-839)
             ssum, smax, sr, sg, sb = next(it), next(it), next(it), \
@@ -527,22 +514,16 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     if cfg.channels == 'alpha':
         cols = [alpha]
     elif hard_rgb:
-        dbest, cidb, cr, cg, cb = next(it), next(it), next(it), next(it), \
-            next(it)
+        dbest, cidb = next(it), next(it)
         dmax = jnp.max(dbest, axis=1, keepdims=True)
         any_v = dmax > NEG_INF
         gid = cidb * FC + lane.astype(jnp.float32)
         tie = dbest == dmax
         gsel = jnp.min(jnp.where(tie, gid, 3e30), axis=1, keepdims=True)
-        win = tie & (gid == gsel)
-
-        def wsel(x):
-            return jnp.sum(jnp.where(win, x, 0.0), axis=1, keepdims=True)
 
         cols = [alpha,
                 jnp.where(any_v, 1.0 / dmax, BIG_DEPTH),
-                jnp.where(any_v, gsel, -1.0),
-                wsel(cr), wsel(cg), wsel(cb)]
+                jnp.where(any_v, gsel, -1.0)]
     else:
         ssum, smax, sr, sg, sb = next(it), next(it), next(it), next(it), \
             next(it)
@@ -558,12 +539,18 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
 
 def fallback_reason(cfg, textures):
     """Why this config is outside the pallas kernels' envelope (or None):
-    very high-res surface textures (R > 6 would need > 108 one-hot texel
-    selections per pair), or an image size with no 128-aligned pixel tiling
-    (Mosaic DMA alignment; only constrains real TPUs)."""
-    if cfg.texture_type == C.TEXTURE_SURFACE and textures.shape[2] > 36:
+    very high-res surface textures on the SOFTMAX color path (every face
+    contributes, so sampling must happen in-kernel, and R > 6 would need
+    > 108 one-hot texel selections per pair — hard RGB has no such limit:
+    its sampling is an epilogue gather keyed on the winner id), or an image
+    size with no 128-aligned pixel tiling (Mosaic DMA alignment; only
+    constrains real TPUs)."""
+    if (cfg.channels != 'alpha' and cfg.aggr_rgb_func == C.RGB_SOFTMAX
+            and cfg.texture_type == C.TEXTURE_SURFACE
+            and textures.shape[2] > 36):
         return (f'surface texture_res {int(round(textures.shape[2]**0.5))} '
-                f'(TS={textures.shape[2]} texels/face > 36)')
+                f'(TS={textures.shape[2]} texels/face > 36) with softmax '
+                f'RGB')
     if not _interpret() and not _tiles_feasible(cfg.image_size,
                                                 cfg.pixel_tile):
         return (f'image_size {cfg.image_size} has no 128-aligned pixel '
@@ -637,11 +624,99 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
         return soft, aggrs, finfo
 
     out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux)
-    soft_colors, aggrs_info = _finalize_soa(out, cfg, params)
+    soft_colors, aggrs_info = _finalize_soa(out, cfg, params, aux['packed'],
+                                            TS=textures.shape[2])
     return soft_colors, aggrs_info, aux
 
 
-def _finalize_soa(out, cfg: C.RenderConfig, params: Dict):
+def _pix_coords(is_):
+    """Row-major pixel-center NDC coords ([P], [P]) — identical to the
+    kernels' in-tile formula after untiling (cu:716-719)."""
+    ii = jnp.arange(is_, dtype=jnp.float32)
+    xp1 = (2.0 * ii + 1.0 - is_) / is_
+    yp1 = (2.0 * (is_ - 1.0 - ii) + 1.0 - is_) / is_
+    return jnp.tile(xp1, (is_,)), jnp.repeat(yp1, is_)
+
+
+def _gather_rows(packed, r0, nr, idx):
+    """packed[:, r0:r0+nr, :][..., idx] per batch -> [B, nr, P] f32."""
+    B, P = idx.shape
+    rows = packed[:, r0:r0 + nr, :].astype(jnp.float32)
+    return jnp.take_along_axis(
+        rows, jnp.broadcast_to(idx[:, None, :], (B, nr, P)), axis=2)
+
+
+def _winner_bary(packed, idx, is_):
+    """Barycentrics of each pixel's hard-RGB winner face ([B, P] x3).
+    Winners are inside-loose (cu:815-822), where the raw affine
+    barycentrics are already clipped and normalized."""
+    rows = _gather_rows(packed, pack.R_INV, 9, idx)
+    xp, yp = _pix_coords(is_)
+    w0 = rows[:, 0] * xp + rows[:, 1] * yp + rows[:, 2]
+    w1 = rows[:, 3] * xp + rows[:, 4] * yp + rows[:, 5]
+    return w0, w1, 1.0 - w0 - w1
+
+
+def _hard_rgb_sample(packed, fidx, cfg, TS, is_):
+    """Deferred hard-RGB texture sampling (forward_sample_texture,
+    cu:175-191) as an XLA epilogue: the kernel emits only the winning face
+    id per pixel ([B, P] float, -1 = none); the color is gathered from the
+    packed texel rows here.  Callers mask by ``fidx >= 0``."""
+    B, P = fidx.shape
+    Fp = packed.shape[2]
+    idx = jnp.clip(fidx.astype(jnp.int32), 0, Fp - 1)
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        w0, w1, w2 = _winner_bary(packed, idx, is_)
+        tex = _gather_rows(packed, pack.R_TEX, 9, idx)  # [B, 9, P]
+        return jnp.stack([w0 * tex[:, c] + w1 * tex[:, 3 + c]
+                          + w2 * tex[:, 6 + c] for c in range(3)], axis=1)
+    if TS == 1:
+        return _gather_rows(packed, pack.R_TEX, 3, idx)
+    # surface TS > 1: per-pixel texel row id — one flat gather per channel
+    w0, w1, _ = _winner_bary(packed, idx, is_)
+    ti = _texel_index_from_w(w0, w1, TS)
+    NI = packed.shape[1]
+    flat = packed.reshape(B, NI * Fp).astype(jnp.float32)
+    lin0 = (pack.R_TEX + 3 * ti) * Fp + idx
+    return jnp.stack([jnp.take_along_axis(flat, lin0 + c * Fp, axis=1)
+                      for c in range(3)], axis=1)
+
+
+def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_):
+    """Deferred hard-RGB texture gradient (backward_sample_texture,
+    cu:194-214 routed by the winner id, cu:998-1004): a deterministic
+    segment-sum of grad_rgb over (winner face, sampled texel) — the
+    backward kernel never touches textures for hard RGB.
+
+    fidx: [B, P] float LOCAL sorted-space winner ids (-1 = none);
+    grad_rgb: [B, 3, P].  Returns grads in sorted space [B, Fp, TS, 3]
+    (vertex: [B, Fp, 3, 3])."""
+    B, P = fidx.shape
+    Fp = packed.shape[2]
+    win = fidx >= 0
+    idx = jnp.clip(fidx.astype(jnp.int32), 0, Fp - 1)
+    gr = grad_rgb.transpose(0, 2, 1)  # [B, P, 3]
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        w0, w1, w2 = _winner_bary(packed, idx, is_)
+        seg = jnp.where(win, idx, Fp)  # one dump row for non-winners
+        vals = jnp.concatenate(
+            [w[..., None] * gr for w in (w0, w1, w2)], axis=-1)  # [B,P,9]
+        out = jax.vmap(lambda v, s: jax.ops.segment_sum(
+            v, s, num_segments=Fp + 1))(vals, seg)[:, :Fp]
+        return out.reshape(B, Fp, 3, 3)
+    if TS == 1:
+        ti = jnp.zeros_like(idx)
+    else:
+        w0, w1, _ = _winner_bary(packed, idx, is_)
+        ti = _texel_index_from_w(w0, w1, TS)
+    seg = jnp.where(win, idx * TS + ti, Fp * TS)
+    out = jax.vmap(lambda v, s: jax.ops.segment_sum(
+        v, s, num_segments=Fp * TS + 1))(gr, seg)[:, :Fp * TS]
+    return out.reshape(B, Fp, TS, 3)
+
+
+def _finalize_soa(out, cfg: C.RenderConfig, params: Dict, packed=None,
+                  TS=1):
     """Background fold + finalize on the channel-major kernel output
     ([B, NO_F, P]) — semantics of X.background_carry + X.merge_carries +
     X.finalize, without ever leaving SoA layout (the final [B, 4, H, W] is
@@ -659,7 +734,8 @@ def _finalize_soa(out, cfg: C.RenderConfig, params: Dict):
         depth = out[:, 1:2]
         fidx = out[:, 2:3]
         has_winner = fidx >= 0
-        rgb_final = jnp.where(has_winner, out[:, 3:6], bg)
+        rgb = _hard_rgb_sample(packed, out[:, 2], cfg, TS, is_)
+        rgb_final = jnp.where(has_winner, rgb, bg)
         aggr0, aggr1 = depth, fidx
     else:
         eps = params['aggr_rgb_eps']
@@ -708,9 +784,13 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
         # pipeline (aux['perm'] maps them to input order if ever needed);
         # base_offset makes them globally unique across fp shards
         fidx = out[:, 2].astype(jnp.int32)
+        rgb = _hard_rgb_sample(aux['packed'], out[:, 2], cfg,
+                               textures.shape[2], cfg.image_size)
+        rgb = rgb.transpose(0, 2, 1)  # X carries AoS rgb
+        # mask the gather's clamped id-0 color on no-winner pixels
+        rgb = jnp.where((fidx >= 0)[..., None], rgb, 0.0)
         if base_offset is not None:
             fidx = jnp.where(fidx >= 0, fidx + base_offset, fidx)
-        rgb = out[:, 3:6].transpose(0, 2, 1)  # X carries AoS rgb
         carry = (alpha, jnp.full_like(alpha, NEG_INF),
                  jnp.zeros_like(alpha), rgb, depth, fidx)
     else:
@@ -744,7 +824,7 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
     NI = packed.shape[1]
     K = Fp // FC
     par = _params_vec(params)
-    NO_F = _fwd_out_cols(cfg)
+    NO_F = _fwd_out_cols(cfg, TS)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, tile_w=tile_w,
@@ -887,6 +967,22 @@ def _n_tex_cols(cfg, TS=1):
     return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3 * TS
 
 
+def _bwd_col_layout(cfg, TS=1):
+    """Columns the backward kernel actually emits, as (NO_B, has_z,
+    has_tex).  Layout: [x0 y0 x1 y1 x2 y2] + [z0 z1 z2 if has_z] + tex.
+    Vertex z-grads exist only on the softmax-depth path (cu:1026-1029);
+    in-kernel texture grads only on the softmax color path (hard RGB
+    routes them through the deferred winner-id segment-sum, alpha-only has
+    none) — the silhouette trainer and the hard-RGB config both emit 6
+    live columns instead of 12+."""
+    softmax = cfg.channels != 'alpha' \
+        and cfg.aggr_rgb_func == C.RGB_SOFTMAX
+    has_z = has_tex = softmax
+    no_b = 6 + (3 if has_z else 0) + (_n_tex_cols(cfg, TS) if has_tex
+                                      else 0)
+    return no_b, has_z, has_tex
+
+
 def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 acc_ref, buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC,
                 is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS, CM):
@@ -898,12 +994,14 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
     k = pl.program_id(1)
     cm = dict(CM)  # static column map of the compacted pixel slab
 
-    acc_ref[:, :] = jnp.zeros((FC, NO_B), jnp.float32)
+    # grad accumulator is (NO_B, FC) — lane-major like every (TP, FC)
+    # colsum below, so the per-tile accumulate is a plain sublane stack
+    # with no lanes->sublanes relayout inside the loop
+    acc_ref[:, :] = jnp.zeros((NO_B, FC), jnp.float32)
 
     n = count_ref[b * K + k]
     par = tuple(par_ref[i] for i in range(NPAR))
     gamma = par[P_GAMMA]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
     lr = lidx // tile_w
     lc = lidx - lr * tile_w
@@ -956,14 +1054,16 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             # pixel-space column i as (TP, 1)
             return pix_t[:, i:i + 1]
 
-        need_wcn = (cfg.channels != 'alpha'
-                    and (cfg.aggr_rgb_func == C.RGB_SOFTMAX
-                         or cfg.texture_type == C.TEXTURE_VERTEX
-                         or TS > 1))
+        # Only the softmax color path needs anything beyond the coverage
+        # chain in-kernel: hard RGB contributes no geometry gradient
+        # (cu:997) and its texture gradient is the deferred winner-id
+        # segment-sum (_hard_tex_grad) outside the kernel.
+        softmax = (cfg.channels != 'alpha'
+                   and cfg.aggr_rgb_func == C.RGB_SOFTMAX)
+        need_wcn = softmax
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
-                       need_depth=cfg.channels != 'alpha')
+                       need_depth=softmax)
         frag, valid = q['frag'], q['valid']
-        zmask = valid & q['zvalid'] if cfg.channels != 'alpha' else valid
 
         gA = pcolm(cm['ga'])
         if cfg.aggr_alpha_func == C.ALPHA_HARD:
@@ -975,15 +1075,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
         gz = None
         gtex_coef = None
-        if cfg.channels == 'alpha':
-            gtex_coef = [jnp.zeros_like(frag) for _ in range(3)]
-        elif cfg.aggr_rgb_func == C.RGB_HARD:
-            gidx = k * FC + lane
-            win = zmask & (pcolm(cm['a1']).astype(jnp.int32) == gidx)
-            gtex_coef = [jnp.where(win, pcolm(cm['gr'] + c), 0.0)
-                         for c in range(3)]
-        else:
-            cmask = zmask & q['front_ok']
+        if softmax:
+            cmask = valid & q['zvalid'] & q['front_ok']
             zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
             zp_softmax = jnp.where(
                 cmask,
@@ -1023,8 +1116,12 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         if cfg.dist_squared:
             coef = 2.0 * q['sign'] * c_grad_xy
         else:
-            coef = q['sign'] * c_grad_xy / jnp.maximum(
-                jnp.sqrt(q['dis_x'] ** 2 + q['dis_y'] ** 2), 1e-6)
+            # |(dis_x, dis_y)| == dis by construction: the selected feature's
+            # distance vector is either w_j m_k (|.|^2 = w_j^2 |m_k|^2 = d2u)
+            # or w_j m_k + dd e_k with m_k _|_ e_k (|.|^2 = d2u + dd^2 |e|^2
+            # = d2c), exactly the quantity dis was drawn from — so reuse the
+            # already-computed sqrt instead of renormalizing (cu:1046-1050)
+            coef = q['sign'] * c_grad_xy / jnp.maximum(q['dis'], 1e-6)
 
         # accumulate per-face grads: reduce over the pixel (sublane) axis
         # (tried: ones-vector MXU matmul instead — no measurable gain,
@@ -1034,28 +1131,28 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
         updates = []
         for i in range(3):
-            gx = colsum(coef * tw[i] * q['dis_x'])  # (FC,)
-            gy = colsum(coef * tw[i] * q['dis_y'])
-            gzi = colsum(gz[i]) if gz is not None \
-                else jnp.zeros_like(gx)
-            updates += [gx, gy, gzi]
-        if cfg.texture_type == C.TEXTURE_VERTEX:
-            for j in range(3):
+            updates += [colsum(coef * tw[i] * q['dis_x']),  # (FC,)
+                        colsum(coef * tw[i] * q['dis_y'])]
+        if gz is not None:
+            updates += [colsum(gz[i]) for i in range(3)]
+        if gtex_coef is not None:
+            if cfg.texture_type == C.TEXTURE_VERTEX:
+                for j in range(3):
+                    for c in range(3):
+                        updates.append(colsum(q['wcn'][j] * gtex_coef[c]))
+            elif TS == 1:
                 for c in range(3):
-                    updates.append(colsum(q['wcn'][j] * gtex_coef[c]))
-        elif TS == 1:
-            for c in range(3):
-                updates.append(colsum(gtex_coef[c]))
-        else:
-            # route to the sampled texel (backward_sample_texture,
-            # cu:197-207)
-            ti = _texel_index(q, TS)
-            for t in range(TS):
-                m = ti == t
-                for c in range(3):
-                    updates.append(colsum(
-                        jnp.where(m, gtex_coef[c], 0.0)))
-        acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=1)
+                    updates.append(colsum(gtex_coef[c]))
+            else:
+                # route to the sampled texel (backward_sample_texture,
+                # cu:197-207)
+                ti = _texel_index(q, TS)
+                for t in range(TS):
+                    m = ti == t
+                    for c in range(3):
+                        updates.append(colsum(
+                            jnp.where(m, gtex_coef[c], 0.0)))
+        acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=0)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -1120,17 +1217,15 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         ag = jnp.concatenate(
             [ag[:, :1], ag[:, 1:] - jnp.float32(base_offset)], axis=1)
     n_cols, NPIXC, cm = _bwd_pix_layout(cfg)
-    if cfg.channels == 'alpha':
+    if cfg.channels == 'alpha' or cfg.aggr_rgb_func == C.RGB_HARD:
         pix_cols = jnp.concatenate([g[:, 3:4], fin[:, 3:4]], axis=1)
-    elif cfg.aggr_rgb_func == C.RGB_HARD:
-        pix_cols = jnp.concatenate([g, fin[:, 3:4], ag[:, 1:2]], axis=1)
     else:
         pix_cols = jnp.concatenate([g, fin, ag], axis=1)
     pix_cols = pack.tile_soa(pix_cols, is_, tile_w, tile_h)
     # sublane dim of the DMA'd slab must be a multiple of 8
     pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - n_cols), (0, 0)))
 
-    NO_B = 9 + _n_tex_cols(cfg, TS)
+    NO_B, has_z, has_tex = _bwd_col_layout(cfg, TS)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, NO_B=NO_B,
                                tile_w=tile_w, tile_h=tile_h, tx_n=tx_n,
@@ -1142,10 +1237,10 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
             pl.BlockSpec((1, NI, FC), lambda b, k, *_: (b, 0, k)),
             pl.BlockSpec(memory_space=pl.ANY),  # pix cols stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, FC, NO_B),
+        out_specs=pl.BlockSpec((1, 1, NO_B, FC),
                                lambda b, k, *_: (b, k, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((FC, NO_B), jnp.float32),
+            pltpu.VMEM((NO_B, FC), jnp.float32),
             pltpu.VMEM((2, NPIXC, TP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -1153,17 +1248,37 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, K, FC, NO_B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, K, NO_B, FC), jnp.float32),
         interpret=_interpret(),
     )(chunk_counts.reshape(-1), chunk_ids.reshape(-1), par, packed,
       pix_cols)
 
-    out = out.reshape(B, Fp, NO_B)
+    # one XLA relayout for the whole tensor (the kernel keeps grads
+    # lane-major; transposing per tile iteration inside the loop costs more)
+    out = out.transpose(0, 1, 3, 2).reshape(B, Fp, NO_B)
     # un-permute: grad for original face j sits at sorted position iperm[j]
     out = jnp.take_along_axis(out, iperm[..., None], axis=1)[:, :F]
-    grad_faces = out[..., :9]
-    if cfg.texture_type == C.TEXTURE_VERTEX:
-        grad_tex = out[..., 9:18].reshape(B, F, 3, 3)
+    # re-inflate the suppressed all-zero columns (see _bwd_col_layout):
+    # [x0 y0 x1 y1 x2 y2] (+ [z0 z1 z2]) (+ tex) -> [B, F, 9] + tex grads
+    gxy = out[..., :6].reshape(B, F, 3, 2)
+    t0 = 6
+    if has_z:
+        gzv = out[..., 6:9, None]  # [B, F, 3(vertex), 1]
+        t0 = 9
     else:
-        grad_tex = out[..., 9:9 + 3 * TS].reshape(B, F, TS, 3)
+        gzv = jnp.zeros((B, F, 3, 1), jnp.float32)
+    grad_faces = jnp.concatenate([gxy, gzv], axis=-1).reshape(B, F, 9)
+    if has_tex:  # softmax RGB: in-kernel texture grads
+        if cfg.texture_type == C.TEXTURE_VERTEX:
+            grad_tex = out[..., t0:t0 + 9].reshape(B, F, 3, 3)
+        else:
+            grad_tex = out[..., t0:t0 + 3 * TS].reshape(B, F, TS, 3)
+    elif cfg.channels != 'alpha':  # hard RGB: deferred winner segment-sum
+        gt_sorted = _hard_tex_grad(packed, ag[:, 1], g[:, :3], cfg, TS, is_)
+        gt_sorted = gt_sorted.reshape(B, Fp, -1)
+        grad_tex = jnp.take_along_axis(
+            gt_sorted, iperm[..., None], axis=1)[:, :F] \
+            .reshape((B, F) + textures.shape[2:])
+    else:
+        grad_tex = jnp.zeros(textures.shape, jnp.float32)
     return grad_faces, grad_tex

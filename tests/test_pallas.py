@@ -476,11 +476,47 @@ class TestFallbackEnvelope:
         big_tex = jnp.zeros((1, 4, 49, 3))
         assert not PB.fallback_reason(cfg, ok_tex)
         assert 'texture_res' in PB.fallback_reason(cfg, big_tex)
+        # hard RGB samples textures in a deferred winner-id epilogue, so
+        # arbitrarily large surface textures stay on the pallas path
+        cfg_hard = C.RenderConfig.create(image_size=256, backend='pallas',
+                                         aggr_rgb_func='hard')
+        assert not PB.fallback_reason(cfg_hard, big_tex)
+        assert not PB.fallback_reason(
+            cfg_hard, jnp.zeros((1, 4, 256, 3)))  # texture_res 16
         # image-size tiling only constrains real TPUs; the static predicate
         # is still testable
         assert PB._tiles_feasible(768, 256)
         assert PB._tiles_feasible(256, 256)
         assert not PB._tiles_feasible(767, 256)
+
+    def test_hard_rgb_big_texture_pallas_parity(self):
+        """TS=49 hard RGB runs the pallas kernels (no fallback) and matches
+        the XLA backend fwd + bwd (texture grads routed per sampled texel,
+        backward_sample_texture cu:197-207)."""
+        rng = np.random.RandomState(4)
+        fv = random_scene(rng, B=2, F=9).reshape(2, 9, 9)
+        tex = rng.rand(2, 9, 49, 3).astype(np.float32)
+        cfg = C.RenderConfig.create(
+            image_size=16, dist_func='uniform',
+            aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+            double_side=True, face_chunk=8, pixel_tile=64,
+            backend='pallas', on_fallback='error')
+        params = params_dict(dist_scale=3e-2)
+        fvj, texj = jnp.asarray(fv), jnp.asarray(tex)
+        finfo = prep.faces_info(fvj)
+        want, want_ag = X.forward(fvj, texj, finfo, cfg, params)
+        got, got_ag, aux = PB.forward_with_aux(fvj, texj, cfg, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-3)
+        g = jnp.asarray(rng.randn(2, 4, 16, 16).astype(np.float32))
+        want_f, want_t = X.backward(fvj, texj, finfo, want, want_ag, g,
+                                    cfg, params)
+        got_f, got_t = PB.backward_from_aux(fvj, texj, aux, got, got_ag, g,
+                                            cfg, params)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                                   atol=1e-5, rtol=1e-4)
 
     def test_error_mode_raises(self):
         from gendr_tpu.raster.render import render
