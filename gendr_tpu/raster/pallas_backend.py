@@ -1129,10 +1129,12 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         def colsum(x):  # (TP, FC) -> (FC,)
             return jnp.sum(x, axis=0)
 
+        cx = coef * q['dis_x']
+        cy = coef * q['dis_y']
         updates = []
         for i in range(3):
-            updates += [colsum(coef * tw[i] * q['dis_x']),  # (FC,)
-                        colsum(coef * tw[i] * q['dis_y'])]
+            updates += [colsum(cx * tw[i]),  # (FC,)
+                        colsum(cy * tw[i])]
         if gz is not None:
             updates += [colsum(gz[i]) for i in range(3)]
         if gtex_coef is not None:
