@@ -690,10 +690,15 @@ def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_):
 
     fidx: [B, P] float LOCAL sorted-space winner ids (-1 = none);
     grad_rgb: [B, 3, P].  Returns grads in sorted space [B, Fp, TS, 3]
-    (vertex: [B, Fp, 3, 3])."""
+    (vertex: [B, Fp, 3, 3]).
+
+    Under face sharding the per-pixel winner may belong to ANOTHER shard:
+    after the base_offset shift its local id is negative or >= Fp — both
+    must be masked, not clipped (each shard credits only its own faces,
+    exactly like the old in-kernel id comparison)."""
     B, P = fidx.shape
     Fp = packed.shape[2]
-    win = fidx >= 0
+    win = (fidx >= 0) & (fidx < Fp)
     idx = jnp.clip(fidx.astype(jnp.int32), 0, Fp - 1)
     gr = grad_rgb.transpose(0, 2, 1)  # [B, P, 3]
     if cfg.texture_type == C.TEXTURE_VERTEX:

@@ -65,12 +65,13 @@ def test_sharded_forward_matches(mesh, mesh22, rgb, backend):
 
 @pytest.mark.parametrize('backend', [
     pytest.param('xla', marks=pytest.mark.exhaustive), 'pallas'])
-@pytest.mark.parametrize('rgb', [
-    pytest.param('hard', marks=pytest.mark.exhaustive), 'softmax'])
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
 def test_sharded_gradients_match(mesh, mesh22, rgb, backend):
     # default tier: softmax-pallas (the fullest path: production kernels,
-    # fp carry merge, streaming-softmax z-chain, grads); other corners are
-    # exhaustive-tier
+    # fp carry merge, streaming-softmax z-chain, grads) AND hard-pallas
+    # (the flagship silhouette config — its deferred texture-grad routing
+    # must mask cross-shard winner ids, a bug class the softmax path cannot
+    # catch); xla corners are exhaustive-tier
     if backend == 'pallas':
         mesh = mesh22
     B, F = (4, 21) if backend == 'xla' else (2, 13)
