@@ -1,5 +1,5 @@
 """Multi-chip scaling via jax.sharding: data-parallel batch + face-parallel
-rendering.
++ pixel-parallel rendering.
 
 The reference has **no** distributed support of any kind (SURVEY.md §2.4 —
 single process, single GPU, NCCL/MPI absent).  This module is the TPU-native
@@ -14,10 +14,16 @@ scaling layer in its place:
   z-argmin) and carries are merged with an ``all_gather`` in transformed
   space under ``shard_map``.  This is exactly the ring-attention trick
   applied to rasterization.
+* **Pixel-axis parallelism (sp)** — for very large images, each device
+  renders a horizontal row band (NDC coordinates stay global, so the band
+  is bit-identical to the same rows of a full render — embarrassingly
+  parallel forward, SURVEY.md §2.4).  Backward needs one ``psum`` of the
+  face/texture gradients over sp.  Composes with dp and fp into a 3-axis
+  mesh.
 
 Typical use:
 
-    mesh = make_mesh({'dp': 4, 'fp': 2})
+    mesh = make_mesh({'dp': 2, 'fp': 2, 'sp': 2})
     out = render_sharded(face_vertices, textures, cfg, params, mesh)
 """
 
@@ -55,32 +61,35 @@ def _chunk_unit(cfg: C.RenderConfig, backend: str) -> int:
 
 
 def _local_forward_carry(backend, fv_l, tex_l, fvalid_l, cfg, params,
-                         base_offset, P_pix, dp_axis, fp_axis):
-    """Partial aggregation carry for one fp shard's faces (no background)."""
+                         base_offset, P_pix, axes, row_band=None):
+    """Partial aggregation carry for one (fp, sp) shard (no background).
+    ``row_band=(row0, height)`` is the sp shard's image row band."""
     if backend == 'pallas':
         from gendr_tpu.raster import pallas_backend as PB
         carry, _ = PB.forward_partial(fv_l, tex_l, cfg, params,
                                       base_offset=base_offset,
-                                      fvalid=fvalid_l)
+                                      fvalid=fvalid_l, row_band=row_band)
         return carry
     b_l = fv_l.shape[0]
     finfo_l = prep.faces_info(fv_l)
     carry0 = jax.tree_util.tree_map(
-        lambda x: jax.lax.pcast(x, (dp_axis, fp_axis), to='varying'),
+        lambda x: jax.lax.pcast(x, axes, to='varying'),
         X.empty_carry(b_l, P_pix, cfg))
     return X.forward_carry(fv_l, tex_l, finfo_l, fvalid_l, carry0, cfg,
-                           params, base_offset=base_offset)
+                           params, base_offset=base_offset,
+                           row_band=row_band)
 
 
 def _local_backward(backend, fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l,
-                    cfg, params, base_offset):
+                    cfg, params, base_offset, row_band=None):
     if backend == 'pallas':
         from gendr_tpu.raster import pallas_backend as PB
         return PB.backward(fv_l, tex_l, None, soft_l, aggr_l, g_l, cfg,
-                           params, base_offset=base_offset, fvalid=fvalid_l)
+                           params, base_offset=base_offset, fvalid=fvalid_l,
+                           row_band=row_band)
     finfo_l = prep.faces_info(fv_l)
     return X.backward(fv_l, tex_l, finfo_l, soft_l, aggr_l, g_l, cfg,
-                      params, base_offset=base_offset)
+                      params, base_offset=base_offset, row_band=row_band)
 
 
 def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
@@ -110,11 +119,22 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, pads)
 
 
+def _band(sp_axis, n_sp, is_):
+    """(row0, height) of this sp shard's image row band (traced row0), or
+    None when the pixel axis is unsharded."""
+    if not sp_axis or n_sp == 1:
+        return None
+    hb = is_ // n_sp
+    return (jax.lax.axis_index(sp_axis) * hb, hb)
+
+
 def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
                    params: Dict, mesh: Mesh, dp_axis: Optional[str] = 'dp',
-                   fp_axis: Optional[str] = 'fp', backend=None):
-    """Forward render with batch sharded over ``dp_axis`` and faces sharded
-    over ``fp_axis``.  Returns soft_colors [B, 4, H, W] (replicated over fp).
+                   fp_axis: Optional[str] = 'fp',
+                   sp_axis: Optional[str] = None, backend=None):
+    """Forward render with batch sharded over ``dp_axis``, faces over
+    ``fp_axis``, and image rows over ``sp_axis``.  Returns soft_colors
+    [B, 4, H, W] (sharded over dp x sp, replicated over fp).
 
     face_vertices: [B, F, 9]; textures: [B, F, TS, 3].  ``backend`` picks
     the per-shard engine ('pallas' production kernels or 'xla' streaming
@@ -124,8 +144,10 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
 
     B, F = face_vertices.shape[:2]
     is_ = cfg.image_size
-    P_pix = is_ * is_
     n_fp = mesh.shape[fp_axis] if fp_axis else 1
+    n_sp = mesh.shape[sp_axis] if sp_axis else 1
+    assert is_ % n_sp == 0, (is_, n_sp)
+    P_loc = is_ * (is_ // n_sp)
     backend = _resolve_backend(cfg, textures, backend)
     cf = _chunk_unit(cfg, backend)
     Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
@@ -135,23 +157,24 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
     fvalid = jnp.arange(Fp) < F
 
     in_specs = (P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
-                P(dp_axis))
-    out_specs = P(dp_axis)
+                P(dp_axis, sp_axis))
+    out_specs = P(dp_axis, None, sp_axis)
 
     bg = jnp.broadcast_to(
         jnp.asarray(params['background_color'], jnp.float32).reshape(1, 1, 3),
-        (B, P_pix, 3))
+        (B, is_ * is_, 3))
 
     def local_render(fv_local, tex_local, fvalid_local, bg_local):
         b_local = fv_local.shape[0]
+        band = _band(sp_axis, n_sp, is_)
         carry = _local_forward_carry(
             backend, fv_local, tex_local, fvalid_local, cfg, params,
-            jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_pix,
-            dp_axis, fp_axis)
+            jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_loc,
+            (dp_axis, fp_axis) + ((sp_axis,) if band else ()), band)
         # merge partial carries across the face axis, in shard order, with
         # the background state folded in first (reference init order)
         gathered = jax.lax.all_gather(carry, fp_axis)  # leading axis n_fp
-        merged = X.background_carry(b_local, P_pix, bg_local, cfg, params)
+        merged = X.background_carry(b_local, P_loc, bg_local, cfg, params)
         for i in range(n_fp):
             part = jax.tree_util.tree_map(lambda x: x[i], gathered)
             merged = X.merge_carries(merged, part, cfg, params)
@@ -164,15 +187,16 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
 
 
 def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
-                        fp_axis='fp', backend=None):
-    """Differentiable face+batch-sharded render with the reference gradient
-    semantics (aggregate-inverse t-conorm backward etc.).
+                        fp_axis='fp', sp_axis=None, backend=None):
+    """Differentiable batch+face+pixel-sharded render with the reference
+    gradient semantics (aggregate-inverse t-conorm backward etc.).
 
     The backward runs under the same shard_map: every fp shard computes the
-    gradients of its own faces from the replicated final aggregates — no
-    cross-device reduction for grad_faces at all (they are face-sharded),
-    and the dp gradient all-reduce for model parameters is inserted by XLA
-    outside this function.
+    gradients of its own faces from the final aggregates — no cross-device
+    reduction for grad_faces over fp (they are face-sharded); when the
+    pixel axis is sharded each sp shard contributes its band's gradients
+    and one ``psum`` over sp completes them.  The dp gradient all-reduce
+    for model parameters is inserted by XLA outside this function.
 
     ``backend`` picks the per-shard engine ('pallas' production kernels or
     'xla' streaming scan); default cfg.backend.  The fp-shard carry merge is
@@ -182,6 +206,9 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
     import functools
 
     n_fp = mesh.shape[fp_axis] if fp_axis else 1
+    n_sp = mesh.shape[sp_axis] if sp_axis else 1
+    is_ = cfg.image_size
+    assert is_ % n_sp == 0, (is_, n_sp)
 
     def _prepare(face_vertices, textures, backend_r):
         B, F = face_vertices.shape[:2]
@@ -201,19 +228,20 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
         backend_r = _resolve_backend(cfg, textures, backend)
         fv, tex, fvalid, B, F, Fp = _prepare(face_vertices, textures,
                                              backend_r)
-        P_pix = cfg.image_size ** 2
+        P_loc = is_ * (is_ // n_sp)
         bg = jnp.broadcast_to(
             jnp.asarray(params['background_color'],
-                        jnp.float32).reshape(1, 1, 3), (B, P_pix, 3))
+                        jnp.float32).reshape(1, 1, 3), (B, is_ * is_, 3))
 
         def local_fwd(fv_l, tex_l, fvalid_l, bg_l):
             b_l = fv_l.shape[0]
+            band = _band(sp_axis, n_sp, is_)
             carry = _local_forward_carry(
                 backend_r, fv_l, tex_l, fvalid_l, cfg, params,
-                jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_pix,
-                dp_axis, fp_axis)
+                jax.lax.axis_index(fp_axis) * (Fp // n_fp), P_loc,
+                (dp_axis, fp_axis) + ((sp_axis,) if band else ()), band)
             gathered = jax.lax.all_gather(carry, fp_axis)
-            merged = X.background_carry(b_l, P_pix, bg_l, cfg, params)
+            merged = X.background_carry(b_l, P_loc, bg_l, cfg, params)
             for i in range(n_fp):
                 part = jax.tree_util.tree_map(lambda x: x[i], gathered)
                 merged = X.merge_carries(merged, part, cfg, params)
@@ -222,10 +250,11 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
         soft_colors, aggrs = shard_map(
             local_fwd, mesh=mesh,
             in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
-                      P(dp_axis)),
+                      P(dp_axis, sp_axis)),
             # the merged carry is identical on every fp shard (all_gather +
             # deterministic fold), which the vma checker cannot infer
-            out_specs=(P(dp_axis), P(dp_axis)), check_vma=False)(
+            out_specs=(P(dp_axis, None, sp_axis),
+                       P(dp_axis, None, sp_axis)), check_vma=False)(
                 fv, tex, fvalid, bg)
         return soft_colors, (fv, tex, fvalid, soft_colors, aggrs, params)
 
@@ -241,15 +270,22 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
 
         def local_bwd(fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l):
             fp_local = fv_l.shape[1]
-            return _local_backward(
+            band = _band(sp_axis, n_sp, is_)
+            gf_l, gt_l = _local_backward(
                 backend_r, fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l,
                 cfg, params,
-                base_offset=jax.lax.axis_index(fp_axis) * fp_local)
+                base_offset=jax.lax.axis_index(fp_axis) * fp_local,
+                row_band=band)
+            if band is not None:
+                # each sp shard saw only its row band's pixels
+                gf_l, gt_l = jax.lax.psum((gf_l, gt_l), sp_axis)
+            return gf_l, gt_l
 
         gf, gt = shard_map(
             local_bwd, mesh=mesh,
             in_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis), P(fp_axis),
-                      P(dp_axis), P(dp_axis), P(dp_axis)),
+                      P(dp_axis, None, sp_axis), P(dp_axis, None, sp_axis),
+                      P(dp_axis, None, sp_axis)),
             out_specs=(P(dp_axis, fp_axis), P(dp_axis, fp_axis)),
             check_vma=False)(fv, tex, fvalid, soft_colors, aggrs, g)
         zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)

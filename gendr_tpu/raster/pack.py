@@ -248,14 +248,22 @@ def tile_grid(image_size, tile_w, tile_h):
     return T, TP, perm, inv
 
 
-def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin):
+def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin,
+                    height=None, row0=0):
     """[B, T, K] int32 mask: does face-chunk k (bbox union + margin) overlap
     2D pixel tile t?  The TPU-native replacement for the reference's
-    per-thread early-exit culls (cu:747, 769, 784)."""
+    per-thread early-exit culls (cu:747, 769, 784).
+
+    ``height``/``row0`` restrict the tile grid to a horizontal band of the
+    image (rows [row0, row0+height)) for the pixel-sharded multi-chip path;
+    NDC coordinates stay global, so a band render is bit-identical to the
+    corresponding rows of the full render.  row0 may be traced (it is a
+    ``jax.lax.axis_index`` product under shard_map)."""
     B = packed.shape[0]
     Fp = packed.shape[2]
     K = Fp // face_chunk
     is_ = image_size
+    height = is_ if height is None else height
 
     xmin = packed[:, R_BBOX + 0].reshape(B, K, face_chunk)
     xmax = packed[:, R_BBOX + 1].reshape(B, K, face_chunk)
@@ -269,12 +277,12 @@ def tile_chunk_mask(packed, image_size, tile_w, tile_h, face_chunk, margin):
     cymax = jnp.max(jnp.where(fval, ymax, -big), axis=-1)
 
     tx_n = is_ // tile_w
-    ty_n = is_ // tile_h
+    ty_n = height // tile_h
     T = tx_n * ty_n
     t_idx = jnp.arange(T)
     ty, tx = t_idx // tx_n, t_idx % tx_n
     c0 = tx * tile_w
-    r0 = ty * tile_h
+    r0 = row0 + ty * tile_h
     tx_min = (2.0 * c0 + 1.0 - is_) / is_
     tx_max = (2.0 * (c0 + tile_w - 1) + 1.0 - is_) / is_
     # y decreases with row index (vertical flip, cu:716-719)
@@ -311,29 +319,32 @@ def tile(arr, image_size, tile_w, tile_h):
     return a.reshape(B, is_ * is_, C)
 
 
-def tile_soa(arr, image_size, tile_w, tile_h):
+def tile_soa(arr, image_size, tile_w, tile_h, height=None):
     """[B, C, H*W] image order -> [B, C, T*TP] tiled pixel order.
 
     Channel-major throughout: the kernels DMA (C, TP) slabs, and the render
     tensors ([B, 4, H, W] images, [B, 2, H, W] aggregates) are already
     channel-major, so no AoS<->SoA transpose ever materializes.
+    ``height`` handles a row band of the image (pixel-sharded path).
     """
     B, C = arr.shape[:2]
     is_ = image_size
-    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    height = is_ if height is None else height
+    ty_n, tx_n = height // tile_h, is_ // tile_w
     a = arr.reshape(B, C, ty_n, tile_h, tx_n, tile_w)
     a = a.transpose(0, 1, 2, 4, 3, 5)
-    return a.reshape(B, C, is_ * is_)
+    return a.reshape(B, C, height * is_)
 
 
-def untile_soa(arr, image_size, tile_w, tile_h):
+def untile_soa(arr, image_size, tile_w, tile_h, height=None):
     """[B, C, T*TP] tiled pixel order -> [B, C, H*W] image order."""
     B, C = arr.shape[:2]
     is_ = image_size
-    ty_n, tx_n = is_ // tile_h, is_ // tile_w
+    height = is_ if height is None else height
+    ty_n, tx_n = height // tile_h, is_ // tile_w
     a = arr.reshape(B, C, ty_n, tx_n, tile_h, tile_w)
     a = a.transpose(0, 1, 2, 4, 3, 5)
-    return a.reshape(B, C, is_ * is_)
+    return a.reshape(B, C, height * is_)
 
 
 def compact_hits(mask):

@@ -60,13 +60,15 @@ def _bwd_pix_layout(cfg: C.RenderConfig):
     npixc = -(-n // 8) * 8  # DMA sublane dim must be a multiple of 8
     return n, npixc, cm
 
-# parameter-vector slots (SMEM scalar prefetch)
+# parameter-vector slots (SMEM scalar prefetch); P_ROW0 is the global image
+# row of the rendered band's first row (0 for a full render — the
+# pixel-sharded path renders one band per device, NDC coords staying global)
 (P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2) = range(14)
-NPAR = 14
+ P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0) = range(15)
+NPAR = 15
 
 
-def _params_vec(params: Dict):
+def _params_vec(params: Dict, row0=0):
     bg = jnp.asarray(params['background_color'], jnp.float32).reshape(3)
     return jnp.stack([
         jnp.asarray(params['dist_scale'], jnp.float32),
@@ -84,6 +86,7 @@ def _params_vec(params: Dict):
         jnp.exp(-jax.lax.lgamma(jnp.maximum(
             jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
         bg[0], bg[1], bg[2],
+        jnp.asarray(row0, jnp.float32),
     ])
 
 
@@ -373,10 +376,11 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     lc = lidx - lr * tile_w
     ty = t // tx_n
     tx = t - ty * tx_n
-    prow = ty * tile_h + lr
+    prow = ty * tile_h + lr  # band-local row; global = prow + par[P_ROW0]
     pcol = tx * tile_w + lc
     xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
-    yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+    yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_ \
+        - 2.0 * par[P_ROW0] / is_
     if cfg.compute_dtype == 'bf16':
         xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
@@ -577,17 +581,21 @@ def _xla_fallback(cfg, textures):
 
 
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
-             fvalid_in=None):
-    """Sort, pack, and build cull lists once; shared by fwd and bwd."""
+             fvalid_in=None, row_band=None):
+    """Sort, pack, and build cull lists once; shared by fwd and bwd.
+    ``row_band=(row0, height)`` builds the cull lists for that image row
+    band only (pixel-sharded path)."""
     B, F = face_vertices.shape[:2]
     is_ = cfg.image_size
+    row0, hb = row_band if row_band is not None else (0, is_)
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
                                                  F, FC, cfg, fvalid_in)
     packed = pack.pack_faces(fv, tex, fvalid, cfg)
     margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin)
+    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin,
+                                height=hb, row0=row0)
     tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
     if cfg.compute_dtype == 'bf16':
         # opt-in serving mode: per-pair algebra in bfloat16 (2x VPU packing,
@@ -629,13 +637,17 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
     return soft_colors, aggrs_info, aux
 
 
-def _pix_coords(is_):
+def _pix_coords(is_, height=None, row0=0):
     """Row-major pixel-center NDC coords ([P], [P]) — identical to the
-    kernels' in-tile formula after untiling (cu:716-719)."""
+    kernels' in-tile formula after untiling (cu:716-719).  ``height``/
+    ``row0`` select an image row band; NDC stays global (row0 may be
+    traced)."""
+    h = is_ if height is None else height
     ii = jnp.arange(is_, dtype=jnp.float32)
+    jj = row0 + jnp.arange(h, dtype=jnp.float32)
     xp1 = (2.0 * ii + 1.0 - is_) / is_
-    yp1 = (2.0 * (is_ - 1.0 - ii) + 1.0 - is_) / is_
-    return jnp.tile(xp1, (is_,)), jnp.repeat(yp1, is_)
+    yp1 = (2.0 * (is_ - 1.0 - jj) + 1.0 - is_) / is_
+    return jnp.tile(xp1, (h,)), jnp.repeat(yp1, is_)
 
 
 def _gather_rows(packed, r0, nr, idx):
@@ -646,18 +658,18 @@ def _gather_rows(packed, r0, nr, idx):
         rows, jnp.broadcast_to(idx[:, None, :], (B, nr, P)), axis=2)
 
 
-def _winner_bary(packed, idx, is_):
+def _winner_bary(packed, idx, is_, height=None, row0=0):
     """Barycentrics of each pixel's hard-RGB winner face ([B, P] x3).
     Winners are inside-loose (cu:815-822), where the raw affine
     barycentrics are already clipped and normalized."""
     rows = _gather_rows(packed, pack.R_INV, 9, idx)
-    xp, yp = _pix_coords(is_)
+    xp, yp = _pix_coords(is_, height, row0)
     w0 = rows[:, 0] * xp + rows[:, 1] * yp + rows[:, 2]
     w1 = rows[:, 3] * xp + rows[:, 4] * yp + rows[:, 5]
     return w0, w1, 1.0 - w0 - w1
 
 
-def _hard_rgb_sample(packed, fidx, cfg, TS, is_):
+def _hard_rgb_sample(packed, fidx, cfg, TS, is_, height=None, row0=0):
     """Deferred hard-RGB texture sampling (forward_sample_texture,
     cu:175-191) as an XLA epilogue: the kernel emits only the winning face
     id per pixel ([B, P] float, -1 = none); the color is gathered from the
@@ -666,14 +678,14 @@ def _hard_rgb_sample(packed, fidx, cfg, TS, is_):
     Fp = packed.shape[2]
     idx = jnp.clip(fidx.astype(jnp.int32), 0, Fp - 1)
     if cfg.texture_type == C.TEXTURE_VERTEX:
-        w0, w1, w2 = _winner_bary(packed, idx, is_)
+        w0, w1, w2 = _winner_bary(packed, idx, is_, height, row0)
         tex = _gather_rows(packed, pack.R_TEX, 9, idx)  # [B, 9, P]
         return jnp.stack([w0 * tex[:, c] + w1 * tex[:, 3 + c]
                           + w2 * tex[:, 6 + c] for c in range(3)], axis=1)
     if TS == 1:
         return _gather_rows(packed, pack.R_TEX, 3, idx)
     # surface TS > 1: per-pixel texel row id — one flat gather per channel
-    w0, w1, _ = _winner_bary(packed, idx, is_)
+    w0, w1, _ = _winner_bary(packed, idx, is_, height, row0)
     ti = _texel_index_from_w(w0, w1, TS)
     NI = packed.shape[1]
     flat = packed.reshape(B, NI * Fp).astype(jnp.float32)
@@ -682,7 +694,8 @@ def _hard_rgb_sample(packed, fidx, cfg, TS, is_):
                       for c in range(3)], axis=1)
 
 
-def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_):
+def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_, height=None,
+                   row0=0):
     """Deferred hard-RGB texture gradient (backward_sample_texture,
     cu:194-214 routed by the winner id, cu:998-1004): a deterministic
     segment-sum of grad_rgb over (winner face, sampled texel) — the
@@ -702,7 +715,7 @@ def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_):
     idx = jnp.clip(fidx.astype(jnp.int32), 0, Fp - 1)
     gr = grad_rgb.transpose(0, 2, 1)  # [B, P, 3]
     if cfg.texture_type == C.TEXTURE_VERTEX:
-        w0, w1, w2 = _winner_bary(packed, idx, is_)
+        w0, w1, w2 = _winner_bary(packed, idx, is_, height, row0)
         seg = jnp.where(win, idx, Fp)  # one dump row for non-winners
         vals = jnp.concatenate(
             [w[..., None] * gr for w in (w0, w1, w2)], axis=-1)  # [B,P,9]
@@ -712,7 +725,7 @@ def _hard_tex_grad(packed, fidx, grad_rgb, cfg, TS, is_):
     if TS == 1:
         ti = jnp.zeros_like(idx)
     else:
-        w0, w1, _ = _winner_bary(packed, idx, is_)
+        w0, w1, _ = _winner_bary(packed, idx, is_, height, row0)
         ti = _texel_index_from_w(w0, w1, TS)
     seg = jnp.where(win, idx * TS + ti, Fp * TS)
     out = jax.vmap(lambda v, s: jax.ops.segment_sum(
@@ -755,15 +768,17 @@ def _finalize_soa(out, cfg: C.RenderConfig, params: Dict, packed=None,
         rgb = bg * (jnp.exp(eps / gamma) * sa) + out[:, 3:6] * sb
         rgb_final = rgb / ssum
         aggr0, aggr1 = ssum, m
+    h = P // is_  # band height (== is_ for a full render)
     soft_colors = jnp.concatenate([rgb_final, alpha], axis=1) \
-        .reshape(B, 4, is_, is_)
+        .reshape(B, 4, h, is_)
     aggrs_info = jnp.concatenate([aggr0, aggr1], axis=1) \
-        .reshape(B, 2, is_, is_)
+        .reshape(B, 2, h, is_)
     return soft_colors, aggrs_info
 
 
 def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
-                    params: Dict, aux=None, base_offset=0, fvalid=None):
+                    params: Dict, aux=None, base_offset=0, fvalid=None,
+                    row_band=None):
     """Run the forward kernel and return the per-pixel aggregation carry
     WITHOUT the background fold — an ``xla_backend.empty_carry``-compatible
     partial state, mergeable with ``X.merge_carries``.  This is what the
@@ -771,10 +786,12 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
 
     ``base_offset`` globally offsets the recorded hard-RGB winner ids (they
     stay in this shard's Morton-sorted space plus the offset); ``fvalid``
-    ([F] bool) marks externally-padded faces.  Returns (carry, aux).
+    ([F] bool) marks externally-padded faces; ``row_band=(row0, height)``
+    restricts the render to that image row band (pixel-sharded path).
+    Returns (carry, aux).
     """
     out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux,
-                               fvalid)
+                               fvalid, row_band)
     alpha = out[:, 0]
     if cfg.channels == 'alpha':
         # silhouette-only: identity state everywhere but alpha
@@ -789,8 +806,9 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
         # pipeline (aux['perm'] maps them to input order if ever needed);
         # base_offset makes them globally unique across fp shards
         fidx = out[:, 2].astype(jnp.int32)
+        row0, hb = row_band if row_band is not None else (0, None)
         rgb = _hard_rgb_sample(aux['packed'], out[:, 2], cfg,
-                               textures.shape[2], cfg.image_size)
+                               textures.shape[2], cfg.image_size, hb, row0)
         rgb = rgb.transpose(0, 2, 1)  # X carries AoS rgb
         # mask the gather's clamped id-0 color on no-winner pixels
         rgb = jnp.where((fidx >= 0)[..., None], rgb, 0.0)
@@ -808,27 +826,30 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
 
 
 def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
-                    params: Dict, aux=None, fvalid=None):
+                    params: Dict, aux=None, fvalid=None, row_band=None):
     """Run the forward kernel; returns (out [B, NO_F, P] channel-major in
-    row-major pixel order, aux)."""
+    row-major pixel order, aux).  ``row_band=(row0, height)`` renders only
+    that image row band (pixel-sharded path); P = height * image_size."""
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     is_ = cfg.image_size
-    P = is_ * is_
+    row0, hb = row_band if row_band is not None else (0, is_)
+    P = is_ * hb
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w
 
     if aux is None:
-        aux = _prepass(face_vertices, textures, cfg, params, fvalid)
+        aux = _prepass(face_vertices, textures, cfg, params, fvalid,
+                       row_band)
     packed = aux['packed']
     tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
     Fp = packed.shape[2]
     NI = packed.shape[1]
     K = Fp // FC
-    par = _params_vec(params)
+    par = _params_vec(params, row0)
     NO_F = _fwd_out_cols(cfg, TS)
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
@@ -855,7 +876,7 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
         interpret=_interpret(),
     )(tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
     # tiled pixel order -> row-major image order (reshapes, no gather)
-    return pack.untile_soa(out, is_, tile_w, tile_h), aux
+    return pack.untile_soa(out, is_, tile_w, tile_h, hb), aux
 
 
 def _interpret():
@@ -921,27 +942,30 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg, fvalid_in=None):
     return fv, tex, fvalid, Fp, K, perm
 
 
-def _pick_tile2d(is_, want):
+def _pick_tile2d(is_, want, height=None):
     """2D pixel tiles (tight bboxes in both axes).  Returns (tile_w,
-    tile_h) dividing the image size with tile_w*tile_h <= want.
+    tile_h) with tile_w dividing the image WIDTH and tile_h the rendered
+    band HEIGHT (the full image size unless pixel-sharded), with
+    tile_w*tile_h <= want.
 
     On real TPUs the backward kernel DMAs a (NPIXC, TP) pixel slab whose
     minor dim must be 128-aligned, so TP = tile_w*tile_h must be a multiple
     of 128 (Mosaic rejects it otherwise); ``_tiles_feasible`` gates the
     pallas path on that.  Interpret mode (tests) has no such constraint but
     uses the same tiling so CPU tests exercise the TPU configuration."""
+    h = is_ if height is None else height
     tw = is_
     for cand in (16, 32, 8):
         if is_ % cand == 0 and cand <= is_:
             tw = cand
             break
-    th = max(1, min(want // tw, is_))
-    while is_ % th:
+    th = max(1, min(want // tw, h))
+    while h % th:
         th -= 1
     if (tw * th) % 128 != 0:
         # prefer the largest feasible th <= want//tw, then any feasible one
-        cands = [t for t in range(is_, 0, -1)
-                 if is_ % t == 0 and (tw * t) % 128 == 0]
+        cands = [t for t in range(h, 0, -1)
+                 if h % t == 0 and (tw * t) % 128 == 0]
         if cands:
             under = [t for t in cands if tw * t <= max(want, 128)]
             th = under[0] if under else cands[-1]
@@ -1045,10 +1069,11 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         t = tile_id(j)
         ty = t // tx_n
         tx = t - ty * tx_n
-        prow = ty * tile_h + lr
+        prow = ty * tile_h + lr  # band-local; global = prow + par[P_ROW0]
         pcol = tx * tile_w + lc
         xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
-        yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_
+        yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_ \
+            - 2.0 * par[P_ROW0] / is_
         if cfg.compute_dtype == 'bf16':
             xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
 
@@ -1168,17 +1193,18 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
 def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
              grad_soft_colors, cfg: C.RenderConfig, params: Dict,
-             base_offset=0, fvalid=None):
+             base_offset=0, fvalid=None, row_band=None):
     """Same contract as xla_backend.backward."""
     del finfo
     return backward_from_aux(face_vertices, textures, None, soft_colors,
                              aggrs_info, grad_soft_colors, cfg, params,
-                             base_offset, fvalid)
+                             base_offset, fvalid, row_band)
 
 
 def backward_from_aux(face_vertices, textures, aux, soft_colors,
                       aggrs_info, grad_soft_colors, cfg: C.RenderConfig,
-                      params: Dict, base_offset=0, fvalid=None):
+                      params: Dict, base_offset=0, fvalid=None,
+                      row_band=None):
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     if _xla_fallback(cfg, textures):
@@ -1188,25 +1214,27 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
             else prep.faces_info(face_vertices)
         return X.backward(face_vertices, textures, finfo, soft_colors,
                           aggrs_info, grad_soft_colors, cfg, params,
-                          base_offset)
+                          base_offset, row_band)
 
     is_ = cfg.image_size
-    P = is_ * is_
+    row0, hb = row_band if row_band is not None else (0, is_)
+    P = is_ * hb
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile)
+    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w
 
     if aux is None:
-        aux = _prepass(face_vertices, textures, cfg, params, fvalid)
+        aux = _prepass(face_vertices, textures, cfg, params, fvalid,
+                       row_band)
     packed, perm = aux['packed'], aux['perm']
     chunk_counts, chunk_ids = aux['chunk_counts'], aux['chunk_ids']
     Fp = packed.shape[2]
     NI = packed.shape[1]
     K = Fp // FC
     iperm = aux['iperm']  # orig face id -> sorted position
-    par = _params_vec(params)
+    par = _params_vec(params, row0)
 
     # pixel-space tensor: only the columns this config's kernel reads (see
     # _bwd_pix_layout), kept channel-major end to end — the image tensors
@@ -1228,7 +1256,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         pix_cols = jnp.concatenate([g[:, 3:4], fin[:, 3:4]], axis=1)
     else:
         pix_cols = jnp.concatenate([g, fin, ag], axis=1)
-    pix_cols = pack.tile_soa(pix_cols, is_, tile_w, tile_h)
+    pix_cols = pack.tile_soa(pix_cols, is_, tile_w, tile_h, hb)
     # sublane dim of the DMA'd slab must be a multiple of 8
     pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - n_cols), (0, 0)))
 
@@ -1281,7 +1309,8 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         else:
             grad_tex = out[..., t0:t0 + 3 * TS].reshape(B, F, TS, 3)
     elif cfg.channels != 'alpha':  # hard RGB: deferred winner segment-sum
-        gt_sorted = _hard_tex_grad(packed, ag[:, 1], g[:, :3], cfg, TS, is_)
+        gt_sorted = _hard_tex_grad(packed, ag[:, 1], g[:, :3], cfg, TS, is_,
+                                   hb, row0)
         gt_sorted = gt_sorted.reshape(B, Fp, -1)
         grad_tex = jnp.take_along_axis(
             gt_sorted, iperm[..., None], axis=1)[:, :F] \

@@ -31,7 +31,25 @@ BIG_DEPTH = 10000000.0  # cu:739
 NEG_INF = -1e30
 
 
-def pixel_grid(image_size: int):
+def pixel_grid(image_size: int, height=None, row0=0):
+    """NDC pixel centers, flattened row-major over the output image.
+
+    ``height``/``row0`` select a horizontal band (rows [row0, row0+height))
+    of the image for the pixel-sharded path; NDC coordinates stay GLOBAL
+    (derived from image_size), so the band result is bit-identical to the
+    corresponding rows of a full render.  row0 may be a traced scalar."""
+    if height is not None and (height != image_size
+                               or not isinstance(row0, int) or row0 != 0):
+        is_ = image_size
+        rows = row0 + jnp.arange(height * is_, dtype=jnp.int32) // is_
+        cols = jnp.arange(height * is_, dtype=jnp.int32) % is_
+        yi = (is_ - 1 - rows).astype(jnp.float32)
+        xi = cols.astype(jnp.float32)
+        return (2.0 * xi + 1.0 - is_) / is_, (2.0 * yi + 1.0 - is_) / is_
+    return _pixel_grid_full(image_size)
+
+
+def _pixel_grid_full(image_size: int):
     """NDC pixel centers, flattened row-major over the output image
     (cu:712-719: yi = is-1-row is the vertical flip)."""
     is_ = image_size
@@ -237,13 +255,17 @@ def merge_carries(a, b, cfg: C.RenderConfig, params: Dict):
 
 
 def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
-                  cfg: C.RenderConfig, params: Dict, base_offset=0):
+                  cfg: C.RenderConfig, params: Dict, base_offset=0,
+                  row_band=None):
     """Scan all face chunks, starting from ``carry0``.  Inputs must already
     be padded to a multiple of cfg.face_chunk; fvalid: [Fp] bool.
-    ``base_offset`` shifts the global face indices recorded for hard RGB."""
+    ``base_offset`` shifts the global face indices recorded for hard RGB;
+    ``row_band=(row0, height)`` renders only that row band (carry0 must be
+    sized height*image_size pixels)."""
     B, Fp = face_vertices.shape[:2]
     is_ = cfg.image_size
-    xp, yp = pixel_grid(is_)
+    row0, hb = row_band if row_band is not None else (0, None)
+    xp, yp = pixel_grid(is_, hb, row0)
     cf = min(cfg.face_chunk, max(Fp, 1))
     nc = Fp // cf
     gamma = params['aggr_rgb_gamma']
@@ -311,10 +333,13 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
 
 
 def finalize(carry, cfg: C.RenderConfig):
-    """Carry -> (soft_colors [B,4,H,W], aggrs_info [B,2,H,W])."""
+    """Carry -> (soft_colors [B,4,H,W], aggrs_info [B,2,H,W]).  H is
+    derived from the carry's pixel count (it is a band height under the
+    pixel-sharded path), W = cfg.image_size."""
     alpha, smax, ssum, rgb, depth_min, fidx = carry
     B = alpha.shape[0]
     is_ = cfg.image_size
+    h = alpha.shape[1] // is_
     if cfg.channels == 'alpha':
         rgb_final = rgb  # carries the background untouched
         aggr0, aggr1 = depth_min, fidx.astype(jnp.float32)
@@ -325,8 +350,8 @@ def finalize(carry, cfg: C.RenderConfig):
         rgb_final = rgb / ssum[..., None]
         aggr0, aggr1 = ssum, smax
     soft_colors = jnp.concatenate([rgb_final, alpha[..., None]], axis=-1)
-    soft_colors = soft_colors.reshape(B, is_, is_, 4).transpose(0, 3, 1, 2)
-    aggrs_info = jnp.stack([aggr0, aggr1], axis=1).reshape(B, 2, is_, is_)
+    soft_colors = soft_colors.reshape(B, h, is_, 4).transpose(0, 3, 1, 2)
+    aggrs_info = jnp.stack([aggr0, aggr1], axis=1).reshape(B, 2, h, is_)
     return soft_colors, aggrs_info
 
 
@@ -358,19 +383,21 @@ def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
 
 def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
              grad_soft_colors, cfg: C.RenderConfig, params: Dict,
-             base_offset=0):
+             base_offset=0, row_band=None):
     """Returns (grad_face_vertices [B,F,9], grad_textures [B,F,TS,3]).
 
     Semantics of ``backward_render_cuda_kernel`` (cu:866-1065): recompute the
     per-pair coverage, apply the aggregate-inverse t-conorm rule, the softmax
     RGB chain, and the closest-point distance chain; accumulate per chunk
-    with dense pixel reductions instead of atomicAdd.
+    with dense pixel reductions instead of atomicAdd.  ``row_band`` as in
+    forward_carry: the image tensors then hold only that row band.
     """
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     is_ = cfg.image_size
-    P = is_ * is_
-    xp, yp = pixel_grid(is_)
+    row0, hb = row_band if row_band is not None else (0, None)
+    P = soft_colors.shape[2] * soft_colors.shape[3]
+    xp, yp = pixel_grid(is_, hb, row0)
     cf = min(cfg.face_chunk, max(F, 1))
     gamma = params['aggr_rgb_gamma']
 

@@ -127,6 +127,60 @@ def test_sharded_pallas_exotic_tconorms(mesh22, tcn, p):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.fixture(scope='module')
+def mesh222():
+    """Full 3-axis mesh: batch x faces x image rows."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    return S.make_mesh({'dp': 2, 'fp': 2, 'sp': 2})
+
+
+@pytest.mark.parametrize('backend', [
+    pytest.param('xla', marks=pytest.mark.exhaustive), 'pallas'])
+@pytest.mark.parametrize('rgb', [
+    'hard', pytest.param('softmax', marks=pytest.mark.exhaustive)])
+def test_pixel_sharded_render_matches(mesh222, rgb, backend):
+    """sp (image-row) sharding composed with dp x fp must be a no-op vs the
+    unsharded render: each device renders a row band with global NDC
+    coordinates (SURVEY.md 2.4's 'embarrassingly parallel pixel axis'),
+    and the backward completes face/texture grads with one psum over sp."""
+    B, F = 2, 17
+    rng = np.random.RandomState(3)
+    fv = random_scene(rng, B=B, F=F).reshape(B, F, 9)
+    tex = rng.rand(B, F, 1, 3).astype(np.float32)
+    kw = dict(image_size=16, dist_func='uniform',
+              aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
+              face_chunk=4, backend=backend)
+    cfg = C.RenderConfig.create(**kw)
+    params = params_dict(dist_scale=3e-2,
+                         background_color=np.array([0.2, 0.1, 0.4]))
+
+    got = S.render_sharded(fv, tex, cfg, params, mesh222, sp_axis='sp')
+    want = render(fv, tex, dist_scale=3e-2,
+                  background_color=np.array([0.2, 0.1, 0.4]), **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    render_fn = S.make_sharded_render(cfg, mesh222, sp_axis='sp')
+
+    def loss_sharded(fv_, tex_):
+        img = render_fn(fv_, tex_, params)
+        return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
+
+    def loss_ref(fv_, tex_):
+        img = render(fv_, tex_, dist_scale=3e-2,
+                     background_color=np.array([0.2, 0.1, 0.4]), **kw)
+        return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
+
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1))(jnp.asarray(fv),
+                                                  jnp.asarray(tex))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(fv),
+                                               jnp.asarray(tex))
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
 def test_dryrun_entrypoints():
     import __graft_entry__ as GE
     fn, args = GE.entry()
