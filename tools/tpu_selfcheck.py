@@ -70,6 +70,10 @@ CONFIGS = [
          aggr_rgb_func='softmax', dist_scale=1e-4, dist_shift=0.1),
     dict(dist_func='gamma', dist_shape=0.5, aggr_alpha_func='einstein',
          aggr_rgb_func='softmax', dist_scale=1e-2),
+    # big surface texture on hard RGB: the deferred winner-id sampling +
+    # segment-sum texture-grad epilogues (no in-kernel texel cap)
+    dict(dist_func='uniform', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='hard', dist_scale=1e-2, _ts=49),
 ]
 
 
