@@ -40,15 +40,22 @@ from gendr_tpu import config as C
 from gendr_tpu.raster import prep, xla_backend as X
 
 
-def _resolve_backend(cfg: C.RenderConfig, textures, backend=None) -> str:
+def _resolve_backend(cfg: C.RenderConfig, textures, backend=None,
+                     band_h=None) -> str:
     """Which local per-shard engine to run: the production Pallas kernels
     (cfg.backend == 'pallas' and the config is in their envelope) or the XLA
-    streaming scan.  Decided statically — forward and backward must agree."""
+    streaming scan.  Decided statically — forward and backward must agree.
+    ``band_h`` is the per-device image row-band height under sp sharding
+    (the band, not the full image, must admit a 128-aligned pixel tiling on
+    real TPUs)."""
     backend = cfg.backend if backend is None else backend
     if backend == 'pallas':
         from gendr_tpu.raster import pallas_backend as PB
         if not PB._xla_fallback(cfg, textures):
-            return 'pallas'
+            if (band_h is None or PB._interpret()
+                    or PB._tiles_feasible(cfg.image_size, cfg.pixel_tile,
+                                          band_h)):
+                return 'pallas'
     return 'xla'
 
 
@@ -148,7 +155,8 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
     n_sp = mesh.shape[sp_axis] if sp_axis else 1
     assert is_ % n_sp == 0, (is_, n_sp)
     P_loc = is_ * (is_ // n_sp)
-    backend = _resolve_backend(cfg, textures, backend)
+    backend = _resolve_backend(cfg, textures, backend,
+                               band_h=is_ // n_sp if n_sp > 1 else None)
     cf = _chunk_unit(cfg, backend)
     Fp = -(-F // (n_fp * cf)) * (n_fp * cf)
 
@@ -225,7 +233,8 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
         return out
 
     def _fwd_impl(face_vertices, textures, params):
-        backend_r = _resolve_backend(cfg, textures, backend)
+        backend_r = _resolve_backend(cfg, textures, backend,
+                                     band_h=is_ // n_sp if n_sp > 1 else None)
         fv, tex, fvalid, B, F, Fp = _prepare(face_vertices, textures,
                                              backend_r)
         P_loc = is_ * (is_ // n_sp)
@@ -266,7 +275,8 @@ def make_sharded_render(cfg: C.RenderConfig, mesh: Mesh, dp_axis='dp',
         (fv, tex, fvalid, soft_colors, aggrs, params), F, Ft = resF
         # statically re-derivable from cfg + texture shape (padding does not
         # change TS); residuals must stay pure JAX types
-        backend_r = _resolve_backend(cfg, tex, backend)
+        backend_r = _resolve_backend(cfg, tex, backend,
+                                     band_h=is_ // n_sp if n_sp > 1 else None)
 
         def local_bwd(fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l):
             fp_local = fv_l.shape[1]

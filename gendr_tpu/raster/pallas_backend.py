@@ -972,9 +972,10 @@ def _pick_tile2d(is_, want, height=None):
     return tw, th
 
 
-def _tiles_feasible(is_, want):
-    tw, th = _pick_tile2d(is_, want)
-    return (tw * th) % 128 == 0 and (is_ * is_) % (tw * th) == 0
+def _tiles_feasible(is_, want, height=None):
+    h = is_ if height is None else height
+    tw, th = _pick_tile2d(is_, want, h)
+    return (tw * th) % 128 == 0 and (is_ * h) % (tw * th) == 0
 
 
 def _align_fc(fc):
