@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gendr_tpu import config as C
-from gendr_tpu.raster import prep, xla_backend as X
+from gendr_tpu.raster import xla_backend as X
 
 
 def _resolve_backend(cfg: C.RenderConfig, textures, backend=None,
@@ -78,11 +78,10 @@ def _local_forward_carry(backend, fv_l, tex_l, fvalid_l, cfg, params,
                                       fvalid=fvalid_l, row_band=row_band)
         return carry
     b_l = fv_l.shape[0]
-    finfo_l = prep.faces_info(fv_l)
     carry0 = jax.tree_util.tree_map(
         lambda x: jax.lax.pcast(x, axes, to='varying'),
         X.empty_carry(b_l, P_pix, cfg))
-    return X.forward_carry(fv_l, tex_l, finfo_l, fvalid_l, carry0, cfg,
+    return X.forward_carry(fv_l, tex_l, None, fvalid_l, carry0, cfg,
                            params, base_offset=base_offset,
                            row_band=row_band)
 
@@ -94,8 +93,7 @@ def _local_backward(backend, fv_l, tex_l, fvalid_l, soft_l, aggr_l, g_l,
         return PB.backward(fv_l, tex_l, None, soft_l, aggr_l, g_l, cfg,
                            params, base_offset=base_offset, fvalid=fvalid_l,
                            row_band=row_band)
-    finfo_l = prep.faces_info(fv_l)
-    return X.backward(fv_l, tex_l, finfo_l, soft_l, aggr_l, g_l, cfg,
+    return X.backward(fv_l, tex_l, None, soft_l, aggr_l, g_l, cfg,
                       params, base_offset=base_offset, row_band=row_band)
 
 

@@ -47,12 +47,16 @@ from gendr_tpu import config as C
 NI_BASE = 48
 
 
-def num_rows(texture_type, TS):
+def num_rows(texture_type, TS, with_tex=True):
     """Packed row count for a texture configuration (8-aligned).
 
     Surface textures contribute 3*TS texel-color rows (48..); vertex
-    textures contribute 9 rows.
+    textures contribute 9 rows.  with_tex=False packs geometry rows only
+    (the streaming XLA backend samples colors from the texture tensor
+    directly, so its packed block stays O(1) in TS).
     """
+    if not with_tex:
+        return NI_BASE
     tex_rows = 9 if texture_type == C.TEXTURE_VERTEX else 3 * TS
     n = NI_BASE + tex_rows
     return -(-n // 8) * 8
@@ -76,7 +80,8 @@ R_DZ = 45
 R_TEX = 48
 
 
-def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
+def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig,
+               with_tex=True):
     """face_vertices: [B, F', 9]; textures: [B, F', TS, 3]; fvalid: [F'].
 
     Returns [B, num_rows(...), F'] float32.
@@ -84,7 +89,7 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
     f = face_vertices
     B, Fp = f.shape[:2]
     TS = textures.shape[2]
-    NI = num_rows(cfg.texture_type, TS)
+    NI = num_rows(cfg.texture_type, TS, with_tex)
     x0, y0, z0 = f[..., 0], f[..., 1], f[..., 2]
     x1, y1, z1 = f[..., 3], f[..., 4], f[..., 5]
     x2, y2, z2 = f[..., 6], f[..., 7], f[..., 8]
@@ -134,20 +139,33 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
         ey = ys[v0] - ys[v1]
         rows[R_E + 2 * k + 0] = ex
         rows[R_E + 2 * k + 1] = ey
-        rows[R_E2 + k] = ex * ex + ey * ey
-        # m_k = u(p*) / w_vj(p*) evaluated at p* = v_vj (where w_vj = 1 up
-        # to rounding; dividing by the actual value self-corrects it)
-        tv_j = tA * xs[vj] + tB * ys[vj] + tC
-        ux_j = (xs[v1] - xs[vj]) + tv_j * ex
-        uy_j = (ys[v1] - ys[vj]) + tv_j * ey
-        wj_j = inv[3 * vj] * xs[vj] + inv[3 * vj + 1] * ys[vj] \
-            + inv[3 * vj + 2]
-        wj_j = jnp.where(jnp.abs(wj_j) < 1e-6, 1.0, wj_j)
-        mx = ux_j / wj_j
-        my = uy_j / wj_j
+        e2 = ex * ex + ey * ey
+        rows[R_E2 + k] = e2
+        # m_k = u(v_vj) / w_vj(v_vj) has the exact closed form
+        #   m_k = det / |e_k|^2 * (-ey_k, ex_k)
+        # because u(v_vj) is the perpendicular from vertex vj to edge k's
+        # line and cross(e_k, v_{k+1} - v_{k+2}) equals the (cyclic-
+        # invariant) triangle determinant.  Computing it directly instead
+        # of through the tv/inv chain is far better conditioned for thin
+        # triangles (f32 p99.9 rel err 4e-5 vs 2e-2) and keeps the Pallas
+        # per-pair distance d2u = w_j^2 |m_k|^2 in lockstep with the XLA
+        # backend at CDF support boundaries.
+        c_over_e2 = det / jnp.maximum(e2, 1e-20)
+        mx = -ey * c_over_e2
+        my = ex * c_over_e2
         rows[R_M + 2 * k + 0] = mx
         rows[R_M + 2 * k + 1] = my
         rows[R_MM + k] = mx * mx + my * my
+
+    # Point-degenerate faces (all three projected vertices coincide) have
+    # no edge direction: every packed distance term is 0, so without a cull
+    # they would cover every pixel with frag = CDF(0).  The reference never
+    # reaches them outside bbox+margin (check_border, cu:46-52); mask them
+    # out entirely — a point face is a zero-measure renderable.  (Segment-
+    # degenerate faces are fine: d2u = (inv_star . p)^2 / |e|^2 is the exact
+    # perpendicular distance to the segment's line, det cancels.)
+    point_degenerate = (rows[R_E2 + 0] + rows[R_E2 + 1]
+                        + rows[R_E2 + 2]) <= 0.0
 
     # frontside (cu:55-58)
     rows[R_FRONT] = ((y2 - y0) * (x1 - x0)
@@ -164,7 +182,13 @@ def pack_faces(face_vertices, textures, fvalid, cfg: C.RenderConfig):
     fval_f = fvalid.astype(jnp.float32)
     if fval_f.ndim == 1:
         fval_f = fval_f[None, :]
-    rows[R_FVALID] = jnp.broadcast_to(fval_f, (B, Fp))
+    rows[R_FVALID] = jnp.broadcast_to(fval_f, (B, Fp)) \
+        * jnp.where(point_degenerate, 0.0, 1.0)
+
+    if not with_tex:
+        zero = jnp.zeros((B, Fp), jnp.float32)
+        rows = [zero if r is None else r for r in rows]
+        return jnp.stack(rows, axis=1)
 
     if cfg.texture_type == C.TEXTURE_VERTEX:
         for j in range(3):

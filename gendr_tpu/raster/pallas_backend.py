@@ -38,6 +38,10 @@ from gendr_tpu.ops import distributions as D
 from gendr_tpu.ops import tconorms as T
 from gendr_tpu.raster import pack
 from gendr_tpu.raster import xla_backend as X
+from gendr_tpu.raster.pairmath import (
+    P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR,
+    P_FAR, P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, NPAR,
+    _params_vec, _pair_math)
 
 NEG_INF = -1e30
 BIG_DEPTH = X.BIG_DEPTH
@@ -60,36 +64,6 @@ def _bwd_pix_layout(cfg: C.RenderConfig):
     npixc = -(-n // 8) * 8  # DMA sublane dim must be a multiple of 8
     return n, npixc, cm
 
-# parameter-vector slots (SMEM scalar prefetch); P_ROW0 is the global image
-# row of the rendered band's first row (0 for a full render — the
-# pixel-sharded path renders one band per device, NDC coords staying global)
-(P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0) = range(15)
-NPAR = 15
-
-
-def _params_vec(params: Dict, row0=0):
-    bg = jnp.asarray(params['background_color'], jnp.float32).reshape(3)
-    return jnp.stack([
-        jnp.asarray(params['dist_scale'], jnp.float32),
-        jnp.asarray(params['dist_shape'], jnp.float32),
-        jnp.asarray(params['dist_shift'], jnp.float32),
-        jnp.asarray(params['dist_eps'] * params['dist_scale'], jnp.float32),
-        jnp.asarray(params['aggr_alpha_t_conorm_p'], jnp.float32),
-        jnp.asarray(params['aggr_rgb_eps'], jnp.float32),
-        jnp.asarray(params['aggr_rgb_gamma'], jnp.float32),
-        jnp.asarray(params['near'], jnp.float32),
-        jnp.asarray(params['far'], jnp.float32),
-        # gamma normalizers precomputed outside (no lgamma in Mosaic)
-        jnp.exp(-jax.lax.lgamma(
-            jnp.asarray(params['dist_shape'], jnp.float32) + 1.0)),
-        jnp.exp(-jax.lax.lgamma(jnp.maximum(
-            jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
-        bg[0], bg[1], bg[2],
-        jnp.asarray(row0, jnp.float32),
-    ])
-
-
 def _tconorm_butterfly(tid, frag, p):
     """All-lane t-conorm reduction on the (TP, FC) minor axis."""
     fc = frag.shape[-1]
@@ -98,182 +72,6 @@ def _tconorm_butterfly(tid, frag, p):
         frag = T.fold_step(tid, frag, pltpu.roll(frag, h, axis=1), p)
         h *= 2
     return frag[:, :1]
-
-
-def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
-               fwd_only=False, need_depth=True):
-    """Shared per-(pixel, face) math on a (TP, FC) tile.
-
-    row(i): the i-th packed per-face constant as a (1, FC) array.
-    Returns a dict of (TP, FC) arrays (see xla_backend._pair_quantities for
-    the reference semantics each field mirrors).  need_wcn=False skips the
-    three per-pair normalization divides when the caller only needs the
-    winner's normalized barycentrics (computed select-then-divide).
-    """
-    # NOTE: the reference's per-pixel bbox cull (cu:747, margin sqrt(thr))
-    # is subsumed by the distance cull below: outside bbox+sqrt(thr) implies
-    # dis >= dist-to-bbox >= sqrt(thr) and outside the face, i.e. exactly
-    # the (~inside) & (dis2 >= thr) condition (cu:769).  It is a GPU
-    # fast-path, not extra semantics, so the TPU kernel skips it.
-    thr = par[P_THR]
-
-    w0 = row(pack.R_INV + 0) * xp + row(pack.R_INV + 1) * yp \
-        + row(pack.R_INV + 2)
-    w1 = row(pack.R_INV + 3) * xp + row(pack.R_INV + 4) * yp \
-        + row(pack.R_INV + 5)
-    w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
-        + row(pack.R_INV + 8)
-
-    # the three barycentric rows sum to 1 by construction (pack.py emits
-    # them from one inverse matrix), so all w_i > 0 already implies every
-    # w_i < 1: the upper test is redundant and the wmax chain is dead —
-    # ~6 fewer VPU ops on every (pixel, face) pair in both kernels
-    wmin = jnp.minimum(jnp.minimum(w0, w1), w2)
-    inside = wmin > 0
-    in_loose = wmin >= 0
-
-    q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose)
-
-    if cfg.dist_func == C.HEAVISIDE:
-        frag = jnp.where(in_loose, 1.0, 0.0)
-        zero = jnp.zeros(w0.shape, jnp.float32)
-        q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
-                 dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
-                 cull=jnp.zeros_like(inside))
-    elif fwd_only:
-        # Forward pass needs only dis^2: the region decision tree
-        # (cu:127-139) exists to FIND the minimizing clamped edge, so a
-        # plain min over the three clamped edge distances gives the same
-        # value without the selection logic.  Per edge, two packed-constant
-        # identities do the rest (see pack.py): d2u = w_j^2 |m|^2 and
-        # d2c = d2u + (clip(tv)-tv)^2 |e|^2 (the foot vector is
-        # perpendicular to the edge).
-        ws = (w0, w1, w2)
-        d2u_min = None
-        d2c_min = None
-        for k in range(3):
-            tv = row(pack.R_TV + 3 * k) * xp \
-                + row(pack.R_TV + 3 * k + 1) * yp \
-                + row(pack.R_TV + 3 * k + 2)
-            wj = ws[(k + 2) % 3]
-            d2u = wj * wj * row(pack.R_MM + k)
-            dd = jnp.clip(tv, 0.0, 1.0) - tv
-            d2c = d2u + dd * dd * row(pack.R_E2 + k)
-            d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
-            d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
-        # bf16 mode: the algebra above ran packed; the CDF chain and the
-        # aggregation fold stay f32 (one upcast per pair)
-        dis2 = jnp.where(inside, d2u_min, d2c_min).astype(jnp.float32)
-        cull = (~inside) & (dis2 >= thr)
-        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
-        sign = jnp.where(inside, 1.0, -1.0)
-        frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
-        q.update(sign=sign, dis=dis, cull=cull)
-    else:
-        # Per edge, fold the inside/outside cases elementwise up front:
-        # inside pairs rank edges by the unclamped foot distance
-        # (cu:91-120), outside pairs by the clamped-segment distance
-        # (cu:127-139, whose obtuse-vertex decision chain exists only to
-        # FIND the boundary-attaining edge — a first-minimum argmin over the
-        # clamped distances selects the same closest feature with no
-        # dot/obtuse algebra; at corner regions two edges tie, but both
-        # clamp to the SAME corner point with identical dis_x/dis_y and
-        # tv in {0, 1}, so gradients don't depend on which tie wins).
-        # Folding first means ONE argmin chain and ONE tv table below
-        # instead of separate inside/outside selection trees.
-        ws = (w0, w1, w2)
-        tvs, dds, d2sel = [], [], []
-        for k in range(3):
-            tv = row(pack.R_TV + 3 * k) * xp \
-                + row(pack.R_TV + 3 * k + 1) * yp \
-                + row(pack.R_TV + 3 * k + 2)
-            wj = ws[(k + 2) % 3]
-            tvc = jnp.clip(tv, 0.0, 1.0)
-            dd = tvc - tv
-            u2 = wj * wj * row(pack.R_MM + k)
-            c2 = u2 + dd * dd * row(pack.R_E2 + k)
-            tvs.append(jnp.where(inside, tv, tvc))
-            dds.append(dd)
-            d2sel.append(jnp.where(inside, u2, c2))
-
-        sel0 = (d2sel[0] <= d2sel[1]) & (d2sel[0] <= d2sel[2])
-        sel1 = (~sel0) & (d2sel[1] <= d2sel[2])
-        ksel = jnp.where(sel0, 0, jnp.where(sel1, 1, 2))
-
-        def sel3(idx, c):
-            return jnp.where(idx == 0, c[0], jnp.where(idx == 1, c[1], c[2]))
-        # distance vector of the SELECTED feature only: u = w_j m_k for the
-        # unclamped foot, plus dd * e_k when the edge parameter clamps
-        wj_sel = sel3(ksel, (w2, w0, w1))  # (k+2)%3 per edge id
-        mx_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k) for k in range(3)))
-        my_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k + 1)
-                                  for k in range(3)))
-        dis_x = wj_sel * mx_sel
-        dis_y = wj_sel * my_sel
-        out_dd = jnp.where(inside, 0.0, sel3(ksel, dds))
-        dis_x = dis_x + out_dd * sel3(
-            ksel, tuple(row(pack.R_E + 2 * k) for k in range(3)))
-        dis_y = dis_y + out_dd * sel3(
-            ksel, tuple(row(pack.R_E + 2 * k + 1) for k in range(3)))
-        tv_sel = sel3(ksel, tvs)
-
-        # dis magnitude via the same min-formula as the forward fast path so
-        # recomputed coverages match the forward bitwise (the max t-conorm
-        # backward detects its winner by exact equality, cu:574-575)
-        dis2 = jnp.minimum(jnp.minimum(d2sel[0], d2sel[1]), d2sel[2])
-        dis2 = dis2.astype(jnp.float32)
-        cull = (~inside) & (dis2 >= thr)
-        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
-        sign = jnp.where(inside, 1.0, -1.0)
-        frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
-        q.update(sign=sign, dis=dis,
-                 dis_x=dis_x.astype(jnp.float32),
-                 dis_y=dis_y.astype(jnp.float32),
-                 tv=tv_sel.astype(jnp.float32), ksel=ksel, cull=cull)
-
-    valid = (~q['cull']) & (frag > 1e-6) & (row(pack.R_FVALID) > 0)
-    frag = jnp.where(valid, frag, 0.0)
-    q['frag'] = frag
-    q['valid'] = valid
-
-    if not need_depth:
-        return q
-
-    if cfg.aggr_rgb_func == C.RGB_HARD:
-        # Hard-RGB depth fast path: the z-argmin only ranks pixels that are
-        # inside-loose (cu:815-822), where the clipped barycentrics equal
-        # the raw ones and sum to exactly 1, so zp = 1/denom.  The argmin
-        # over zp becomes an argmax over denom and the [near, far] window
-        # becomes denom in [1/far, 1/near] — no per-pair divide, no clips.
-        denom = row(pack.R_DZ + 0) * xp + row(pack.R_DZ + 1) * yp \
-            + row(pack.R_DZ + 2)
-        q['denom'] = denom
-        q['zvalid'] = (denom >= 1.0 / par[P_FAR]) \
-            & (denom <= 1.0 / par[P_NEAR])
-        if need_wcn:
-            # consumers mask by the (inside-loose) winner, where the raw
-            # barycentrics are already clipped and normalized
-            q['wcn'] = (w0, w1, w2)
-    else:
-        # clipped barycentrics, depth (cu:807-810)
-        wc0 = jnp.clip(w0, 0.0, 1.0)
-        wc1 = jnp.clip(w1, 0.0, 1.0)
-        wc2 = jnp.clip(w2, 0.0, 1.0)
-        s = jnp.maximum(wc0 + wc1 + wc2, 1e-5)
-        denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
-                 + wc2 * row(pack.R_IZ + 2))
-        zp = s / denom
-        if need_wcn:
-            q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
-        q['zp'] = zp
-        q['zvalid'] = (zp >= par[P_NEAR]) & (zp <= par[P_FAR])
-    if cfg.double_side:
-        q['front_ok'] = jnp.ones_like(valid)
-    else:
-        q['front_ok'] = row(pack.R_FRONT) > 0
-    return q
 
 
 def _colors(row, q, cfg: C.RenderConfig, TS=1):
@@ -626,10 +424,8 @@ def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
                      params: Dict, aux=None):
     B, F = face_vertices.shape[:2]
     if _xla_fallback(cfg, textures):
-        from gendr_tpu.raster import prep
-        finfo = prep.faces_info(face_vertices)
-        soft, aggrs = X.forward(face_vertices, textures, finfo, cfg, params)
-        return soft, aggrs, finfo
+        soft, aggrs = X.forward(face_vertices, textures, None, cfg, params)
+        return soft, aggrs, None
 
     out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux)
     soft_colors, aggrs_info = _finalize_soa(out, cfg, params, aux['packed'],
@@ -1209,11 +1005,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     B, F = face_vertices.shape[:2]
     TS = textures.shape[2]
     if _xla_fallback(cfg, textures):
-        # aux is faces_info in the fallback regime (see forward_with_aux)
-        from gendr_tpu.raster import prep
-        finfo = aux if aux is not None and not isinstance(aux, dict) \
-            else prep.faces_info(face_vertices)
-        return X.backward(face_vertices, textures, finfo, soft_colors,
+        return X.backward(face_vertices, textures, None, soft_colors,
                           aggrs_info, grad_soft_colors, cfg, params,
                           base_offset, row_band)
 

@@ -26,6 +26,8 @@ from gendr_tpu import config as C
 from gendr_tpu.ops import distributions as D
 from gendr_tpu.ops import tconorms as T
 from gendr_tpu.raster import geometry as G
+from gendr_tpu.raster import pack
+from gendr_tpu.raster import pairmath as PM
 
 BIG_DEPTH = 10000000.0  # cu:739
 NEG_INF = -1e30
@@ -83,69 +85,36 @@ def tconorm_chunk_reduce(tid: int, frags: jnp.ndarray, p) -> jnp.ndarray:
     return frags[..., 0]
 
 
-def _pair_quantities(face9, info27, fvalid, xp, yp, cfg: C.RenderConfig,
-                     params: Dict):
+def _pair_quantities(pk, xp, yp, cfg: C.RenderConfig, par, fwd_only=False):
     """All per-(pixel, face) quantities for one chunk.
 
-    face9: [B, CF, 9]; info27: [B, CF, 27]; fvalid: [CF] bool (padding mask);
-    xp, yp: [P].  Every returned array broadcasts to [B, P, CF].
+    pk: [B, NI, CF] packed per-face constants (pack.pack_faces, geometry
+    rows); xp, yp: [P]; par: pairmath._params_vec.  Every returned array
+    broadcasts to [B, P, CF].
+
+    This delegates to the SAME shared pair math the Pallas kernels run
+    (pairmath._pair_math), so the two backends produce bitwise-identical
+    coverage on the same device — boundary flips at discontinuous-pdf CDF
+    support edges and max-t-conorm exact-equality winner detection
+    (cu:574-575) cannot diverge between them.
     """
-    fb = face9[:, None, :, :]          # [B, 1, CF, 9]
-    ib = info27[:, None, :, :]
-    xpb = xp[None, :, None]            # [1, P, 1]
-    ypb = yp[None, :, None]
-
-    xy = tuple(fb[..., i] for i in (0, 1, 3, 4, 6, 7))
-    z = (fb[..., 2], fb[..., 5], fb[..., 8])
-    inv = tuple(ib[..., i] for i in range(9))
-    sym = tuple(ib[..., 9 + i] for i in range(9))
-    obt = tuple(ib[..., 18 + i] for i in range(3))
-
-    threshold = params['dist_eps'] * params['dist_scale']
-    border_out = G.outside_bbox(xy, xpb, ypb, jnp.sqrt(threshold))
-
-    w = G.barycentric(inv, xpb, ypb)
-
-    if cfg.dist_func == C.HEAVISIDE:
-        frag = jnp.where(G.inside_loose(w), 1.0, 0.0)
-        sign = jnp.where(G.inside_strict(w), 1.0, -1.0)
-        zero = jnp.zeros_like(frag)
-        dis = dis_x = dis_y = zero
-        tw = (zero, zero, zero)
-        dist_cull = jnp.zeros_like(frag, bool)
-    else:
-        sign, dis_x, dis_y, tw = G.signed_distance(w, xy, sym, obt, xpb, ypb)
-        dis2 = dis_x * dis_x + dis_y * dis_y
-        dist_cull = (sign < 0) & (dis2 >= threshold)  # cu:769
-        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
-        frag = D.cdf(cfg.dist_func, sign, dis, params['dist_scale'],
-                     params['dist_shape'], params['dist_shift'])
-
-    valid = (~border_out) & (~dist_cull) & fvalid[None, None, :]
-    valid &= frag > C.PROBABILITY_THRESHOLD  # cu:784
-    frag = jnp.where(valid, frag, 0.0)
-
-    w_clip = G.barycentric_clip(w)
-    zp = G.perspective_depth(w_clip, z)
-    zvalid = (zp >= params['near']) & (zp <= params['far'])  # cu:810
-    front = G.face_frontside(xy)
-    front_ok = front | cfg.double_side
-
-    return dict(w=w, w_clip=w_clip, frag=frag, valid=valid, sign=sign,
-                dis=dis, dis_x=dis_x, dis_y=dis_y, tw=tw, zp=zp,
-                zvalid=zvalid, front_ok=front_ok, z=z)
+    def row(i):
+        return pk[:, i, None, :]       # [B, 1, CF]
+    return PM._pair_math(row, xp[None, :, None], yp[None, :, None], par,
+                         cfg, need_wcn=True, fwd_only=fwd_only,
+                         need_depth=cfg.channels != 'alpha')
 
 
-def _sample_colors(tex, q, cfg: C.RenderConfig):
+def _sample_colors(tex, wcn, cfg: C.RenderConfig):
     """Per-pair colors [B, P, CF, 3] (forward_sample_texture, cu:175-191)."""
     B, CF, TS, _ = tex.shape
     if cfg.texture_type == C.TEXTURE_VERTEX:
-        w0, w1, w2 = q['w_clip']
+        w0, w1, w2 = wcn
         t = tex[:, None, :, :, :]  # [B,1,CF,3,3]
         return (w0[..., None] * t[..., 0, :] + w1[..., None] * t[..., 1, :]
                 + w2[..., None] * t[..., 2, :])
     R = int(round(TS ** 0.5))
-    ti = G.surface_texel_index(q['w_clip'], R)  # [B,P,CF]
+    ti = G.surface_texel_index(wcn, R)  # [B,P,CF]
     if TS == 1:
         return jnp.broadcast_to(tex[:, None, :, 0, :],
                                 ti.shape + (3,))
@@ -181,6 +150,12 @@ def _chunked(arr, nc, cf):
     return jnp.moveaxis(arr.reshape(b, nc, cf, *rest), 1, 0)
 
 
+def _chunked_rows(packed, nc, cf):
+    """[B, NI, F] -> [NC, B, NI, CF] for scan xs."""
+    b, ni = packed.shape[:2]
+    return jnp.moveaxis(packed.reshape(b, ni, nc, cf), 2, 0)
+
+
 def _pad_faces(face_vertices, textures, finfo, cf):
     B, F = face_vertices.shape[:2]
     nc = -(-F // cf)
@@ -188,7 +163,8 @@ def _pad_faces(face_vertices, textures, finfo, cf):
     if Fp != F:
         pad = ((0, 0), (0, Fp - F), (0, 0))
         face_vertices = jnp.pad(face_vertices, pad)
-        finfo = jnp.pad(finfo, pad)
+        if finfo is not None:
+            finfo = jnp.pad(finfo, pad)
         textures = jnp.pad(textures, ((0, 0), (0, Fp - F), (0, 0), (0, 0)))
     fvalid = (jnp.arange(Fp) < F)
     return face_vertices, textures, finfo, fvalid, nc, Fp
@@ -262,6 +238,7 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
     ``base_offset`` shifts the global face indices recorded for hard RGB;
     ``row_band=(row0, height)`` renders only that row band (carry0 must be
     sized height*image_size pixels)."""
+    del finfo  # superseded by the packed-constant pair math
     B, Fp = face_vertices.shape[:2]
     is_ = cfg.image_size
     row0, hb = row_band if row_band is not None else (0, None)
@@ -269,15 +246,17 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
     cf = min(cfg.face_chunk, max(Fp, 1))
     nc = Fp // cf
     gamma = params['aggr_rgb_gamma']
+    par = PM._params_vec(params)
+    packed = pack.pack_faces(face_vertices, textures, fvalid, cfg,
+                             with_tex=False)
 
-    xs = (_chunked(face_vertices, nc, cf), _chunked(finfo, nc, cf),
-          _chunked(textures, nc, cf), fvalid.reshape(nc, cf),
+    xs = (_chunked_rows(packed, nc, cf), _chunked(textures, nc, cf),
           base_offset + jnp.arange(nc, dtype=jnp.int32) * cf)
 
     def body(carry, chunk):
         alpha, smax, ssum, rgb, depth_min, fidx = carry
-        face9, info27, tex, fv, base = chunk
-        q = _pair_quantities(face9, info27, fv, xp, yp, cfg, params)
+        pk, tex, base = chunk
+        q = _pair_quantities(pk, xp, yp, cfg, par, fwd_only=True)
         frag, valid = q['frag'], q['valid']
 
         # -- alpha aggregation (cu:791-801)
@@ -293,16 +272,17 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
         if cfg.channels == 'alpha':
             pass  # silhouette-only: depth/RGB skipped entirely
         elif cfg.aggr_rgb_func == C.RGB_HARD:
-            # z-argmin among pixels inside the face (cu:815-822)
-            hmask = valid & q['zvalid'] & G.inside_loose(q['w']) \
-                & q['front_ok']
-            zp_m = jnp.where(hmask, q['zp'], jnp.inf)
+            # z-argmin among pixels inside the face (cu:815-822); the pair
+            # math emits the affine denom = 1/zp (valid on inside-loose
+            # candidates), so rank by its reciprocal
+            hmask = valid & q['zvalid'] & q['in_loose'] & q['front_ok']
+            zp_m = jnp.where(hmask, 1.0 / q['denom'], jnp.inf)
             win_cf = jnp.argmin(zp_m, axis=-1)  # [B,P], ties -> first
             zmin_chunk = jnp.min(zp_m, axis=-1)
             w_clip_win = tuple(
                 jnp.take_along_axis(wc, win_cf[..., None],
                                     axis=-1)[..., 0]
-                for wc in q['w_clip'])
+                for wc in q['wcn'])
             color_win = _sample_winner_color(tex, win_cf, w_clip_win, cfg)
             better = zmin_chunk < depth_min
             depth_min = jnp.where(better, zmin_chunk, depth_min)
@@ -319,7 +299,7 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
             scale_old = jnp.exp((smax - m_new) / gamma)
             expz = jnp.exp((zn - m_new[..., None]) / gamma)
             wexp = jnp.where(cmask, frag * expz, 0.0)
-            colors = _sample_colors(tex, q, cfg)
+            colors = _sample_colors(tex, q['wcn'], cfg)
             ssum = ssum * scale_old + jnp.sum(wexp, axis=-1)
             rgb = rgb * scale_old[..., None] \
                 + jnp.einsum('bpc,bpck->bpk', wexp, colors,
@@ -401,8 +381,12 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
     cf = min(cfg.face_chunk, max(F, 1))
     gamma = params['aggr_rgb_gamma']
 
-    face_vertices_p, textures_p, finfo_p, fvalid, nc, Fp = _pad_faces(
-        face_vertices, textures, finfo, cf)
+    del finfo  # superseded by the packed-constant pair math
+    face_vertices_p, textures_p, _, fvalid, nc, Fp = _pad_faces(
+        face_vertices, textures, None, cf)
+    par = PM._params_vec(params)
+    packed = pack.pack_faces(face_vertices_p, textures_p, fvalid, cfg,
+                             with_tex=False)
 
     # flatten pixel-space tensors to [B, P, .]
     g = grad_soft_colors.transpose(0, 2, 3, 1).reshape(B, P, 4)
@@ -410,17 +394,14 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
     aggr = aggrs_info.reshape(B, 2, P)
     aggr0, aggr1 = aggr[:, 0], aggr[:, 1]  # (ssum, smax) or (depth, idx)
 
-    xs = (_chunked(face_vertices_p, nc, cf), _chunked(finfo_p, nc, cf),
-          _chunked(textures_p, nc, cf), fvalid.reshape(nc, cf),
+    xs = (_chunked_rows(packed, nc, cf), _chunked(textures_p, nc, cf),
           base_offset + jnp.arange(nc, dtype=jnp.int32) * cf)
 
     def body(_, chunk):
-        face9, info27, tex, fv, base = chunk
-        q = _pair_quantities(face9, info27, fv, xp, yp, cfg, params)
+        pk, tex, base = chunk
+        q = _pair_quantities(pk, xp, yp, cfg, par)
         frag, valid = q['frag'], q['valid']
-        w_clip = q['w_clip']
-        zp = q['zp']
-        zmask = valid & q['zvalid']
+        w_clip = q.get('wcn')
 
         gA = g[..., 3]  # [B, P]
         # alpha path (cu:973-987)
@@ -441,11 +422,13 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
             gtex_coef = jnp.zeros(frag.shape + (3,), jnp.float32)
         elif cfg.aggr_rgb_func == C.RGB_HARD:
             # texture grad only to the winning face (cu:997-1004)
+            zmask = valid & q['zvalid']
             cf_ids = base + jnp.arange(cf, dtype=jnp.int32)[None, None, :]
             win = zmask & (aggr1[..., None].astype(jnp.int32) == cf_ids)
             gtex_coef = jnp.where(win[..., None], g[:, :, None, :3], 0.0)
         else:
-            cmask = zmask & q['front_ok']
+            zp = q['zp']
+            cmask = valid & q['zvalid'] & q['front_ok']
             zp_norm = (params['far'] - zp) / (params['far'] - params['near'])
             # aggr0 = softmax_sum, aggr1 = softmax_max (cu:916-917, 1010)
             zp_softmax = jnp.where(
@@ -453,7 +436,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                 frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
                                 - aggr1[..., None]) / gamma)
                 / aggr0[..., None], 0.0)
-            colors = _sample_colors(tex, q, cfg)
+            colors = _sample_colors(tex, w_clip, cfg)
             diff = colors - final[:, :, None, :3]  # color_k - final_k
             c_xyz = jnp.einsum('bpk,bpck->bpc', g[..., :3], diff,
             precision=jax.lax.Precision.HIGHEST) \
@@ -463,25 +446,27 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
                 cmask, c_xyz / jnp.where(cmask, frag, 1.0), 0.0)  # cu:1024
             c_z = c_xyz / gamma / (params['near'] - params['far']) \
                 * zp * zp  # cu:1026
-            z = q['z']
-            gz = tuple(jnp.where(cmask, c_z * w_clip[k] / (z[k] * z[k]), 0.0)
-                       for k in range(3))  # cu:1027-1029
+            # w_clip_j / z_j^2 == wcn_j * iz_j^2 (cu:1027-1029)
+            iz = tuple(pk[:, pack.R_IZ + k, None, :] for k in range(3))
+            gz = tuple(jnp.where(cmask,
+                                 c_z * w_clip[k] * (iz[k] * iz[k]), 0.0)
+                       for k in range(3))
 
         # distance chain (cu:1034-1052)
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'],
                       params['dist_scale'], params['dist_shape'],
-                      params['dist_shift'])
-        c_grad_xy = c_grad_xy * pdf_v
-        c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
+                      params['dist_shift'], gamma_inv=par[PM.P_GINV])
+        c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
-        tw = q['tw']
+        tw = PM.tw_from_ksel(q['ksel'], q['tv'])
         dis_x, dis_y = q['dis_x'], q['dis_y']
         if cfg.dist_squared:
             base_coef = 2.0 * q['sign'] * c_grad_xy
         else:
-            denom = jnp.maximum(jnp.sqrt(dis_x * dis_x + dis_y * dis_y),
-                                1e-6)
-            base_coef = q['sign'] * c_grad_xy / denom
+            # |(dis_x, dis_y)| == dis by construction (the selected
+            # feature's distance vector is the quantity dis was drawn
+            # from), so reuse the already-computed sqrt (cu:1046-1050)
+            base_coef = q['sign'] * c_grad_xy / jnp.maximum(q['dis'], 1e-6)
 
         # per-chunk gradient tensors, reduced over pixels (deterministic)
         gface = []
@@ -496,7 +481,9 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         gface = jnp.stack(gface, axis=-1)  # [B, CF, 9]
 
         # texture gradients (backward_sample_texture, cu:194-214)
-        if cfg.texture_type == C.TEXTURE_VERTEX:
+        if cfg.channels == 'alpha':
+            gtex = jnp.zeros((B, cf) + textures.shape[2:], jnp.float32)
+        elif cfg.texture_type == C.TEXTURE_VERTEX:
             gtex = jnp.stack([
                 jnp.einsum('bpc,bpck->bck', w_clip[j], gtex_coef,
             precision=jax.lax.Precision.HIGHEST)
@@ -523,16 +510,15 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
 
 
 # ---------------------------------------------------------------------------
-# Backend aux contract (see raster.render): aux = faces_info
+# Backend aux contract (see raster.render): the packed constants are cheap
+# O(F) prep recomputed bitwise-identically in backward, so aux is None
 # ---------------------------------------------------------------------------
 
 def forward_with_aux(face_vertices, textures, cfg: C.RenderConfig,
                      params: Dict):
-    from gendr_tpu.raster import prep
-    finfo = prep.faces_info(face_vertices)
-    soft_colors, aggrs_info = forward(face_vertices, textures, finfo, cfg,
+    soft_colors, aggrs_info = forward(face_vertices, textures, None, cfg,
                                       params)
-    return soft_colors, aggrs_info, finfo
+    return soft_colors, aggrs_info, None
 
 
 def backward_from_aux(face_vertices, textures, aux, soft_colors, aggrs_info,

@@ -74,6 +74,11 @@ CONFIGS = [
     # segment-sum texture-grad epilogues (no in-kernel texel cap)
     dict(dist_func='uniform', aggr_alpha_func='probabilistic',
          aggr_rgb_func='hard', dist_scale=1e-2, _ts=49),
+    # max t-conorm: winner detection by exact float equality (cu:574-575)
+    # — the shared pair math (raster/pairmath.py) makes both backends'
+    # coverages bitwise-equal on hardware, so this must agree exactly
+    dict(dist_func='logistic', aggr_alpha_func='max', aggr_rgb_func='hard',
+         dist_scale=3e-3),
 ]
 
 
