@@ -17,10 +17,16 @@ backward cu:866-1065) for the TPU execution model:
   commutative with identity 0.
 * gradients accumulate in VMEM scratch over pixel tiles and are written once
   per face chunk: deterministic, no atomics (unlike cu:1054-1063).
-* hard-RGB texture sampling is deferred: the kernel emits the winning face
-  index and its clipped barycentrics; the gather+sample runs as a cheap XLA
-  epilogue.  Softmax RGB samples in-kernel for TS=1 surface and vertex
-  textures; surface textures with TS>1 fall back to the XLA backend.
+* hard-RGB color/texture work runs IN-KERNEL for vertex textures and small
+  surface textures (the winner's color is carried per lane; its texture
+  gradient is a winner-id-masked column sum) — measured on a v5e, the
+  alternative XLA epilogues (a 65k-pixel gather + segment-sum) cost ~2.2 ms
+  at 256², dwarfing the kernels themselves.  For LARGE surface textures
+  (TS > HARD_INKERNEL_TS_CAP) the kernel emits only the winning face index
+  and the gather/segment-sum epilogues take over, which is what lifts the
+  texture-size cap for hard RGB.  Softmax RGB samples in-kernel for
+  TS<=36 surface and vertex textures; surface TS>36 with softmax falls
+  back to the XLA backend.
 """
 
 from __future__ import annotations
@@ -46,18 +52,40 @@ from gendr_tpu.raster.pairmath import (
 NEG_INF = -1e30
 BIG_DEPTH = X.BIG_DEPTH
 
+# Above this surface-texture size the per-pair one-hot texel selection in
+# the chunk loops (~4·TS VPU ops per (pixel, face) pair) costs more than the
+# deferred winner-id XLA epilogues (~2.2 ms flat at 256² on a v5e: a 65k-
+# pixel gather forward + a segment-sum backward), so hard RGB switches to
+# the deferred path — which also removes any texture-size cap.
+HARD_INKERNEL_TS_CAP = 25
 
-def _bwd_pix_layout(cfg: C.RenderConfig):
+
+def _hard_inkernel(cfg: C.RenderConfig, TS):
+    """True when hard-RGB color sampling + texture grads run in-kernel
+    (winner color carried per lane; grads winner-masked per pair) instead
+    of via the deferred XLA epilogues."""
+    return (cfg.channels != 'alpha' and cfg.aggr_rgb_func == C.RGB_HARD
+            and (cfg.texture_type == C.TEXTURE_VERTEX
+                 or TS <= HARD_INKERNEL_TS_CAP))
+
+
+def _bwd_pix_layout(cfg: C.RenderConfig, TS=1):
     """Pixel-space columns the backward kernel actually reads for a config,
     as (n_cols, colmap): colmap keys are 'gr' (grad rgb base, 3 cols), 'ga'
     (grad alpha), 'fr' (final rgb base, 3), 'fa' (final alpha), 'a0'/'a1'
     (aggrs).  Shipping only live columns halves the per-tile DMA slab for
     the alpha-only and hard-RGB configs (8 sublanes instead of 16)."""
-    if cfg.channels == 'alpha' or cfg.aggr_rgb_func == C.RGB_HARD:
-        # hard RGB reads the same slab as alpha-only: its texture grads are
-        # a deferred XLA segment-sum (see _hard_tex_grad), never in-kernel
+    if cfg.channels == 'alpha' or (cfg.aggr_rgb_func == C.RGB_HARD
+                                   and not _hard_inkernel(cfg, TS)):
+        # big-texture hard RGB reads the same slab as alpha-only: its
+        # texture grads are a deferred XLA segment-sum (_hard_tex_grad)
         cm = dict(ga=0, fa=1)
         n = 2
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        # in-kernel hard RGB: texture grads are routed by comparing each
+        # pair's global face id against the pixel's winner id (a1)
+        cm = dict(gr=0, ga=3, fa=4, a1=5)
+        n = 6
     else:
         cm = dict(gr=0, ga=3, fr=4, fa=7, a0=8, a1=9)
         n = 10
@@ -117,13 +145,13 @@ def _texel_index(q, TS):
 
 def _fwd_out_cols(cfg: C.RenderConfig, TS=1):
     """Forward output columns: [alpha] for the silhouette-only fast path,
-    [alpha, depth, fidx] for hard RGB (the color is ALWAYS an epilogue
-    gather keyed on fidx — the chunk loop never touches textures), else
-    [alpha, ssum, smax, r, g, b] for softmax RGB."""
+    [alpha, depth, fidx, r, g, b] for in-kernel hard RGB, [alpha, depth,
+    fidx] for big-texture hard RGB (color is the epilogue gather keyed on
+    fidx), else [alpha, ssum, smax, r, g, b] for softmax RGB."""
     if cfg.channels == 'alpha':
         return 1
     if cfg.aggr_rgb_func == C.RGB_HARD:
-        return 3
+        return 6 if _hard_inkernel(cfg, TS) else 3
     return 6
 
 
@@ -186,6 +214,7 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     tid = cfg.aggr_alpha_func
     lane_alpha = _lane_deferred_alpha(tid)
     hard_rgb = cfg.channels != 'alpha' and cfg.aggr_rgb_func == C.RGB_HARD
+    hard_ink = hard_rgb and _hard_inkernel(cfg, TS)
     softmax_rgb = cfg.channels != 'alpha' \
         and cfg.aggr_rgb_func == C.RGB_SOFTMAX
 
@@ -219,6 +248,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     if hard_rgb:
         init += [jnp.full((TP, FC), NEG_INF, jnp.float32),  # best denom
                  jnp.full((TP, FC), -1.0, jnp.float32)]     # its chunk id
+        if hard_ink:
+            init += [zTF, zTF, zTF]                          # its rgb
     elif softmax_rgb:
         init += [zT1, jnp.full((TP, 1), NEG_INF, jnp.float32),
                  zT1, zT1, zT1]  # ssum, smax, rgb
@@ -236,10 +267,12 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
-        # only the in-kernel (softmax) color path needs normalized
-        # barycentrics; hard-RGB sampling happens in the XLA epilogue
-        need_wcn = softmax_rgb and (cfg.texture_type == C.TEXTURE_VERTEX
-                                    or TS > 1)
+        # in-kernel color paths need normalized barycentrics for vertex
+        # blending / texel indexing; for hard RGB the pair math hands back
+        # the raw barycentrics (winners are inside-loose, where raw ==
+        # clipped-normalized), so hard_ink never pays the divides
+        need_wcn = (softmax_rgb or hard_ink) \
+            and (cfg.texture_type == C.TEXTURE_VERTEX or TS > 1)
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
                        fwd_only=True, need_depth=cfg.channels != 'alpha')
         frag = q['frag']
@@ -265,8 +298,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
             # z-argmin as a per-lane denom argmax (zp = 1/denom for
             # inside-loose pixels, see _pair_math); strict > keeps the
             # earlier (lower-id) chunk on ties, matching cu:815-822.
-            # Color is NOT carried: the winner id is resolved in the
-            # epilogue and the texture sample is an XLA gather afterwards
+            # Small textures (hard_ink) carry the winner's color per lane;
+            # big ones resolve only the id and sample in the XLA epilogue
             dbest, cidb = next(it), next(it)
             hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
             dm = jnp.where(hmask, q['denom'], NEG_INF)
@@ -274,6 +307,12 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
             cidf = cid.astype(jnp.float32)
             out += [jnp.where(better, dm, dbest),
                     jnp.where(better, cidf, cidb)]
+            if hard_ink:
+                cr, cg, cb = next(it), next(it), next(it)
+                color = _colors(row, q, cfg, TS)
+                out += [jnp.where(better, color[0], cr),
+                        jnp.where(better, color[1], cg),
+                        jnp.where(better, color[2], cb)]
         elif softmax_rgb:
             # streaming softmax (cu:824-839)
             ssum, smax, sr, sg, sb = next(it), next(it), next(it), \
@@ -326,6 +365,14 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         cols = [alpha,
                 jnp.where(any_v, 1.0 / dmax, BIG_DEPTH),
                 jnp.where(any_v, gsel, -1.0)]
+        if hard_ink:
+            win = tie & (gid == gsel)
+
+            def wsel(x):
+                return jnp.sum(jnp.where(win, x, 0.0), axis=1,
+                               keepdims=True)
+
+            cols += [wsel(next(it)), wsel(next(it)), wsel(next(it))]
     else:
         ssum, smax, sr, sg, sb = next(it), next(it), next(it), next(it), \
             next(it)
@@ -548,7 +595,10 @@ def _finalize_soa(out, cfg: C.RenderConfig, params: Dict, packed=None,
         depth = out[:, 1:2]
         fidx = out[:, 2:3]
         has_winner = fidx >= 0
-        rgb = _hard_rgb_sample(packed, out[:, 2], cfg, TS, is_)
+        if _hard_inkernel(cfg, TS):
+            rgb = out[:, 3:6]
+        else:
+            rgb = _hard_rgb_sample(packed, out[:, 2], cfg, TS, is_)
         rgb_final = jnp.where(has_winner, rgb, bg)
         aggr0, aggr1 = depth, fidx
     else:
@@ -603,11 +653,15 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
         # base_offset makes them globally unique across fp shards
         fidx = out[:, 2].astype(jnp.int32)
         row0, hb = row_band if row_band is not None else (0, None)
-        rgb = _hard_rgb_sample(aux['packed'], out[:, 2], cfg,
-                               textures.shape[2], cfg.image_size, hb, row0)
-        rgb = rgb.transpose(0, 2, 1)  # X carries AoS rgb
-        # mask the gather's clamped id-0 color on no-winner pixels
-        rgb = jnp.where((fidx >= 0)[..., None], rgb, 0.0)
+        if _hard_inkernel(cfg, textures.shape[2]):
+            rgb = out[:, 3:6].transpose(0, 2, 1)  # X carries AoS rgb
+        else:
+            rgb = _hard_rgb_sample(aux['packed'], out[:, 2], cfg,
+                                   textures.shape[2], cfg.image_size, hb,
+                                   row0)
+            rgb = rgb.transpose(0, 2, 1)
+            # mask the gather's clamped id-0 color on no-winner pixels
+            rgb = jnp.where((fidx >= 0)[..., None], rgb, 0.0)
         if base_offset is not None:
             fidx = jnp.where(fidx >= 0, fidx + base_offset, fidx)
         carry = (alpha, jnp.full_like(alpha, NEG_INF),
@@ -797,13 +851,15 @@ def _bwd_col_layout(cfg, TS=1):
     """Columns the backward kernel actually emits, as (NO_B, has_z,
     has_tex).  Layout: [x0 y0 x1 y1 x2 y2] + [z0 z1 z2 if has_z] + tex.
     Vertex z-grads exist only on the softmax-depth path (cu:1026-1029);
-    in-kernel texture grads only on the softmax color path (hard RGB
-    routes them through the deferred winner-id segment-sum, alpha-only has
-    none) — the silhouette trainer and the hard-RGB config both emit 6
+    in-kernel texture grads on the softmax color path and on small-texture
+    hard RGB (winner-id-masked); big-texture hard RGB routes them through
+    the deferred winner-id segment-sum and alpha-only has none — the
+    silhouette trainer and the big-texture hard-RGB config both emit 6
     live columns instead of 12+."""
     softmax = cfg.channels != 'alpha' \
         and cfg.aggr_rgb_func == C.RGB_SOFTMAX
-    has_z = has_tex = softmax
+    has_z = softmax
+    has_tex = softmax or _hard_inkernel(cfg, TS)
     no_b = 6 + (3 if has_z else 0) + (_n_tex_cols(cfg, TS) if has_tex
                                       else 0)
     return no_b, has_z, has_tex
@@ -881,15 +937,21 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             # pixel-space column i as (TP, 1)
             return pix_t[:, i:i + 1]
 
-        # Only the softmax color path needs anything beyond the coverage
-        # chain in-kernel: hard RGB contributes no geometry gradient
-        # (cu:997) and its texture gradient is the deferred winner-id
-        # segment-sum (_hard_tex_grad) outside the kernel.
+        # Beyond the coverage chain the kernel computes: softmax color
+        # grads (geometry + texture), or winner-id-masked texture grads for
+        # in-kernel hard RGB (hard RGB contributes no geometry gradient,
+        # cu:997).  Big-texture hard RGB defers its texture gradient to the
+        # winner-id segment-sum (_hard_tex_grad) outside the kernel.
         softmax = (cfg.channels != 'alpha'
                    and cfg.aggr_rgb_func == C.RGB_SOFTMAX)
-        need_wcn = softmax
+        hard_ink = (cfg.channels != 'alpha'
+                    and cfg.aggr_rgb_func == C.RGB_HARD
+                    and _hard_inkernel(cfg, TS))
+        need_wcn = softmax or (hard_ink
+                               and (cfg.texture_type == C.TEXTURE_VERTEX
+                                    or TS > 1))
         q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
-                       need_depth=softmax)
+                       need_depth=softmax or hard_ink)
         frag, valid = q['frag'], q['valid']
 
         gA = pcolm(cm['ga'])
@@ -902,7 +964,18 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
         gz = None
         gtex_coef = None
-        if softmax:
+        if hard_ink:
+            # texture grad flows only to the pixel's winning face
+            # (cu:998-1004): compare each pair's global sorted-space face
+            # id against the recorded winner id (a1, exact small int in
+            # f32; no-winner pixels carry -1 and never match)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
+            gidx = k * FC + lane
+            win = q['valid'] & q['zvalid'] \
+                & (pcolm(cm['a1']).astype(jnp.int32) == gidx)
+            gtex_coef = [jnp.where(win, pcolm(cm['gr'] + c), 0.0)
+                         for c in range(3)]
+        elif softmax:
             cmask = valid & q['zvalid'] & q['front_ok']
             zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
             zp_softmax = jnp.where(
@@ -1044,9 +1117,13 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         # shift to another out-of-range id
         ag = jnp.concatenate(
             [ag[:, :1], ag[:, 1:] - jnp.float32(base_offset)], axis=1)
-    n_cols, NPIXC, cm = _bwd_pix_layout(cfg)
-    if cfg.channels == 'alpha' or cfg.aggr_rgb_func == C.RGB_HARD:
+    n_cols, NPIXC, cm = _bwd_pix_layout(cfg, TS)
+    if cfg.channels == 'alpha' or (cfg.aggr_rgb_func == C.RGB_HARD
+                                   and not _hard_inkernel(cfg, TS)):
         pix_cols = jnp.concatenate([g[:, 3:4], fin[:, 3:4]], axis=1)
+    elif cfg.aggr_rgb_func == C.RGB_HARD:
+        # [gr(3), ga, fa, a1] — the winner id routes in-kernel tex grads
+        pix_cols = jnp.concatenate([g, fin[:, 3:4], ag[:, 1:2]], axis=1)
     else:
         pix_cols = jnp.concatenate([g, fin, ag], axis=1)
     pix_cols = pack.tile_soa(pix_cols, is_, tile_w, tile_h, hb)

@@ -374,23 +374,26 @@ def test_pallas_bf16_compute_mode():
     assert cos > 0.95, cos
 
 
-def test_pallas_vertex_textures():
+@pytest.mark.parametrize('rgb', ['hard', 'softmax'])
+def test_pallas_vertex_textures(rgb):
     rng = np.random.RandomState(2)
     fv = jnp.asarray(random_scene(rng, B=1, F=9).reshape(1, 9, 9))
     tex = jnp.asarray(rng.rand(1, 9, 3, 3).astype(np.float32))
     cfg = _cfg(dict(dist_func='uniform', aggr_alpha_func='probabilistic',
-                    aggr_rgb_func='softmax'), texture_type='vertex')
+                    aggr_rgb_func=rgb), texture_type='vertex')
     params = params_dict(dist_scale=3e-2)
     finfo = prep.faces_info(fv)
-    want, _ = X.forward(fv, tex, finfo, cfg, params)
-    got, _ = PB.forward(fv, tex, finfo, cfg, params)
+    want, want_ag = X.forward(fv, tex, finfo, cfg, params)
+    got, got_ag = PB.forward(fv, tex, finfo, cfg, params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
                                rtol=1e-3)
-    soft, aggrs = want, _
-    soft, aggrs = X.forward(fv, tex, finfo, cfg, params)
-    g = jnp.asarray(rng.randn(*np.asarray(soft).shape).astype(np.float32))
-    want_f, want_t = X.backward(fv, tex, finfo, soft, aggrs, g, cfg, params)
-    got_f, got_t = PB.backward(fv, tex, finfo, soft, aggrs, g, cfg, params)
+    # each backward consumes its OWN forward's residuals (as the custom VJP
+    # does): hard-RGB winner ids are backend-internal (Morton-sorted space
+    # in pallas, input order in the XLA scan)
+    g = jnp.asarray(rng.randn(*np.asarray(want).shape).astype(np.float32))
+    want_f, want_t = X.backward(fv, tex, finfo, want, want_ag, g, cfg,
+                                params)
+    got_f, got_t = PB.backward(fv, tex, finfo, got, got_ag, g, cfg, params)
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
                                atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
@@ -501,6 +504,39 @@ class TestFallbackEnvelope:
         assert PB._tiles_feasible(768, 256)
         assert PB._tiles_feasible(256, 256)
         assert not PB._tiles_feasible(767, 256)
+
+    def test_hard_rgb_cap_texture_inkernel_parity(self):
+        """TS=25 (== HARD_INKERNEL_TS_CAP, e.g. the panda's texture_res=5)
+        hard RGB stays on the IN-KERNEL path — winner color carried per
+        lane, texture grads winner-id-masked — and matches the XLA backend
+        fwd + bwd."""
+        assert PB._hard_inkernel(
+            C.RenderConfig.create(aggr_rgb_func='hard', backend='pallas'),
+            25)
+        rng = np.random.RandomState(11)
+        fv = random_scene(rng, B=2, F=9).reshape(2, 9, 9)
+        tex = rng.rand(2, 9, 25, 3).astype(np.float32)
+        cfg = C.RenderConfig.create(
+            image_size=16, dist_func='uniform',
+            aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+            double_side=True, face_chunk=8, pixel_tile=64,
+            backend='pallas', on_fallback='error')
+        params = params_dict(dist_scale=3e-2)
+        fvj, texj = jnp.asarray(fv), jnp.asarray(tex)
+        finfo = prep.faces_info(fvj)
+        want, want_ag = X.forward(fvj, texj, finfo, cfg, params)
+        got, got_ag, aux = PB.forward_with_aux(fvj, texj, cfg, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-3)
+        g = jnp.asarray(rng.randn(2, 4, 16, 16).astype(np.float32))
+        want_f, want_t = X.backward(fvj, texj, finfo, want, want_ag, g,
+                                    cfg, params)
+        got_f, got_t = PB.backward_from_aux(fvj, texj, aux, got, got_ag, g,
+                                            cfg, params)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                                   atol=1e-5, rtol=1e-4)
 
     def test_hard_rgb_big_texture_pallas_parity(self):
         """TS=49 hard RGB runs the pallas kernels (no fallback) and matches
