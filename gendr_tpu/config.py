@@ -153,9 +153,12 @@ class RenderConfig:
     # bfloat16 (2x VPU packing, half the packed-constant DMA bytes).
     # Opt-in: bf16 quantizes barycentric magnitudes to ~2^-8 relative, so
     # silhouette boundaries move by O(0.1) px at 256^2 — fine for
-    # large-tau silhouette losses and throughput-critical serving, wrong
-    # for tight-tolerance pose gradients (see docs/DESIGN.md).  Backward
-    # always runs f32.
+    # large-tau silhouette losses, wrong for tight-tolerance pose
+    # gradients.  Measured on a v5e it is 19-24% SLOWER than f32 at both
+    # 1.3k and 20k faces (the f32 upcasts before every mask-producing
+    # compare — a Mosaic i1-relayout constraint — eat the packing win;
+    # see docs/DESIGN.md perf journal), so f32 is also the throughput
+    # recommendation.  Backward always runs f32.
     compute_dtype: str = 'f32'
 
     @classmethod
