@@ -82,6 +82,181 @@ CONFIGS = [
 ]
 
 
+def _report(name, ok, detail):
+    print(f'[{"OK  " if ok else "FAIL"}] {name}: {detail}', flush=True)
+    return 0 if ok else 1
+
+
+def band_and_offset_checks():
+    """Hardware-pin the sharded path's per-shard semantics on ONE chip.
+
+    (a) Row bands (sp axis): forward_partial(row_band=(r0, h)) must be
+        BITWISE equal to the same rows of a full render — same faces, same
+        Morton order, same per-pixel fold order, global NDC coords; the
+        only difference is which tiles run.  Checked for hard RGB
+        (in-kernel TS=1 and deferred TS=49 epilogues) and softmax RGB.
+    (b) Band backward: per-band gradients (each band fed its row slice of
+        the cotangent) summed over bands must match the full backward to
+        fp tolerance (the pixel-reduction grouping differs, so not
+        bitwise).
+    (c) fp base_offset: two half-face shards merged via merge_carries with
+        base_offset winner ids must reproduce the full render to fp
+        tolerance (per-half Morton fold order differs from the full sort).
+    """
+    from gendr_tpu import config as C
+    from gendr_tpu.raster import pallas_backend as PB
+    from gendr_tpu.raster import xla_backend as X
+
+    failures = 0
+    rng = np.random.RandomState(7)
+    v, f = data.icosphere(3)  # 1280 faces = 10 chunks of 128 on hardware
+    B = 1
+    verts = jnp.asarray(v)[None] * 0.8
+    eyes = T.get_points_from_angles(jnp.full((B,), 2.732),
+                                    jnp.full((B,), 20.0),
+                                    jnp.full((B,), 30.0))
+    verts = T.perspective(T.look_at(verts, eyes), 30.0)
+    fv = core.face_vertices(verts, jnp.asarray(f)[None]).reshape(B, -1, 9)
+    F = fv.shape[1]
+    is_, hb = 256, 128
+    Ppix = is_ * is_
+    bg = np.array([0.15, 0.25, 0.1], np.float32)
+
+    specs = [
+        ('hard TS=1', dict(aggr_rgb_func='hard'), 1),
+        ('hard TS=49 (deferred epilogues)', dict(aggr_rgb_func='hard'), 49),
+        ('softmax', dict(aggr_rgb_func='softmax'), 1),
+    ]
+    for name, spec, ts in specs:
+        tex = jnp.asarray(rng.rand(B, F, ts, 3), jnp.float32)
+        cfg = C.RenderConfig.create(image_size=is_, dist_func='logistic',
+                                    aggr_alpha_func='probabilistic',
+                                    backend='pallas', **spec)
+        params = dict(dist_scale=3e-3, dist_shape=0.0, dist_shift=0.0,
+                      dist_eps=1e4, aggr_alpha_t_conorm_p=0.0,
+                      aggr_rgb_eps=1e-3, aggr_rgb_gamma=1e-3,
+                      near=1.0, far=100.0, background_color=bg)
+
+        def finalize_with_bg(carries, P_loc, bg_rows):
+            merged = X.background_carry(B, P_loc, bg_rows, cfg, params)
+            for c in carries:
+                merged = X.merge_carries(merged, c, cfg, params)
+            return X.finalize(merged, cfg)
+
+        bg_full = jnp.broadcast_to(bg.reshape(1, 1, 3), (B, Ppix, 3))
+
+        @jax.jit
+        def run_full(fv, tex):
+            carry, _ = PB.forward_partial(fv, tex, cfg, params)
+            return finalize_with_bg([carry], Ppix, bg_full)
+
+        @jax.jit
+        def run_bands(fv, tex):
+            softs = []
+            for r0 in (0, hb):
+                carry, _ = PB.forward_partial(fv, tex, cfg, params,
+                                              row_band=(r0, hb))
+                soft, _ = finalize_with_bg([carry], is_ * hb,
+                                           bg_full[:, :is_ * hb])
+                softs.append(soft)
+            return jnp.concatenate(softs, axis=2)
+
+        full_soft, full_aggr = jax.block_until_ready(run_full(fv, tex))
+        band_soft = jax.block_until_ready(run_bands(fv, tex))
+        nbit = int((np.asarray(full_soft) != np.asarray(band_soft)).sum())
+        failures += _report(
+            f'row-band forward [{name}]', nbit == 0,
+            f'{nbit} / {full_soft.size} values differ (bitwise demand)')
+
+        # (b) band backward vs full backward
+        g = jnp.asarray(rng.rand(*full_soft.shape), jnp.float32)
+
+        @jax.jit
+        def bwd_full(fv, tex, g):
+            return PB.backward(fv, tex, None, full_soft, full_aggr, g,
+                               cfg, params)
+
+        @jax.jit
+        def bwd_bands(fv, tex, g):
+            acc = None
+            for r0 in (0, hb):
+                sl = slice(r0, r0 + hb)
+                carry, _ = PB.forward_partial(fv, tex, cfg, params,
+                                              row_band=(r0, hb))
+                soft, aggr = finalize_with_bg([carry], is_ * hb,
+                                              bg_full[:, :is_ * hb])
+                gf, gt = PB.backward(fv, tex, None, soft, aggr,
+                                     g[:, :, sl], cfg, params,
+                                     row_band=(r0, hb))
+                acc = (gf, gt) if acc is None else (acc[0] + gf,
+                                                    acc[1] + gt)
+            return acc
+
+        gf_f, gt_f = jax.block_until_ready(bwd_full(fv, tex, g))
+        gf_b, gt_b = jax.block_until_ready(bwd_bands(fv, tex, g))
+        fa = np.isclose(np.asarray(gf_f), np.asarray(gf_b),
+                        atol=1e-5, rtol=1e-4).mean()
+        ta = np.isclose(np.asarray(gt_f), np.asarray(gt_b),
+                        atol=1e-5, rtol=1e-4).mean()
+        failures += _report(
+            f'row-band backward [{name}]', fa > 0.9999 and ta > 0.9999,
+            f'grad_agree={fa:.5f} texgrad_agree={ta:.5f}')
+
+        # (c) fp split with base_offset winner ids
+        half = F // 2
+
+        @jax.jit
+        def run_split(fv, tex):
+            ca, _ = PB.forward_partial(fv[:, :half], tex[:, :half], cfg,
+                                       params, base_offset=0)
+            cb, _ = PB.forward_partial(fv[:, half:], tex[:, half:], cfg,
+                                       params, base_offset=half)
+            return finalize_with_bg([ca, cb], Ppix, bg_full)
+
+        split_soft, _ = jax.block_until_ready(run_split(fv, tex))
+        agree = np.isclose(np.asarray(full_soft), np.asarray(split_soft),
+                           atol=2e-3, rtol=1e-3).mean()
+        err = np.abs(np.asarray(full_soft) - np.asarray(split_soft))
+        failures += _report(
+            f'fp base_offset split [{name}]', agree > 0.999,
+            f'agree={agree:.5f} max_err={err.max():.2e}')
+    return failures
+
+
+def bf16_check():
+    """The opt-in bf16 compute mode must COMPILE and run on hardware (it
+    went a full round compiling only in interpret mode) and stay in the
+    documented ~2^-8-relative envelope of f32."""
+    fv, tex = scene(B=1, level=2)
+    kw = dict(image_size=64, dist_func='logistic',
+              aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+              dist_scale=1e-2, backend='pallas')
+
+    def loss(v, t, dt):
+        img = render(v, t, compute_dtype=dt, **kw)
+        return jnp.sum(img[:, 3] ** 2) * 0.5 + jnp.sum(img[:, :3]) * 0.1
+
+    outs = {}
+    for dt in ('f32', 'bf16'):
+        img = jax.jit(lambda a, b: render(a, b, compute_dtype=dt, **kw))(
+            fv, tex)
+        g = jax.jit(jax.grad(lambda a, b: loss(a, b, dt),
+                             argnums=(0, 1)))(fv, tex)
+        outs[dt] = (np.asarray(img), np.asarray(g[0]))
+    # bf16 moves silhouette boundaries by O(0.1) px, which can flip the
+    # hard-RGB winner of individual boundary pixels (an O(1) per-pixel
+    # color change by construction) — so demand BULK agreement plus
+    # gradient direction, not a max-abs bound
+    img_agree = (np.abs(outs['f32'][0] - outs['bf16'][0]) < 0.02).mean()
+    gf, gb = outs['f32'][1].ravel(), outs['bf16'][1].ravel()
+    cos = float(gf @ gb / max(np.linalg.norm(gf) * np.linalg.norm(gb),
+                              1e-30))
+    ok = (np.isfinite(outs['bf16'][0]).all() and img_agree > 0.99
+          and cos > 0.9)
+    return _report('bf16 compile+run vs f32', ok,
+                   f'img_agree={img_agree:.4f} grad_cos={cos:.4f}')
+
+
 def main():
     fv, tex1 = scene()
     failures = 0
@@ -133,6 +308,9 @@ def main():
               f'grad_agree={gclose:.4f} texgrad_agree={tclose:.4f}',
               flush=True)
         failures += 0 if ok else 1
+
+    failures += band_and_offset_checks()
+    failures += bf16_check()
 
     # Constant-folding regression (the remote-TPU compile service has been
     # observed to mis-execute folded cross-product chains): a look_at with
