@@ -61,14 +61,23 @@ def main():
             renderer.dist_scale = tau
             return renderer.forward_tensors(fv, tex)
 
+        import time
+        t0 = time.time()
         for tau_idx, log_tau in enumerate(log_taus):
-            images = render_tau(fv, tex, jnp.float32(10 ** log_tau))
+            images = jax.block_until_ready(
+                render_tau(fv, tex, jnp.float32(10 ** log_tau)))
+            if tau_idx == 0:
+                print(f'  compile+first frame: {time.time()-t0:.1f}s')
+                t0 = time.time()
             save_png(os.path.join(
                 args.out_dir,
                 f'panda_dist_{dist_id}_0_t{tau_idx:03d}.png'),
                 composite_on_background(images))
+        nsteady = max(len(log_taus) - 1, 1)
         print(f'dist {dist_func} (shape={dist_shape}): '
-              f'{len(log_taus)} frames')
+              f'{len(log_taus)} frames, '
+              f'{(time.time()-t0)/nsteady*1e3:.0f} ms/frame steady-state '
+              f'(render+fetch+png)')
 
 
 if __name__ == '__main__':
