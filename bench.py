@@ -28,6 +28,11 @@ def main():
     ap.add_argument('--pixel-tile', type=int, default=256)
     ap.add_argument('--level', type=int, default=3,
                     help='icosphere subdivision level (3 = 1280 faces)')
+    ap.add_argument('--texture-size', type=int, default=1,
+                    help='texels per face (TS); >36 with --rgb softmax '
+                         'exercises the blocked texel-streaming path')
+    ap.add_argument('--rgb', default='hard',
+                    help='hard (headline) | softmax')
     ap.add_argument('--compute-dtype', default='f32',
                     help="f32 (parity, the headline) | bf16 (opt-in packed "
                          "per-pair algebra; see docs/DESIGN.md)")
@@ -62,10 +67,13 @@ def main():
     verts = T.perspective(T.look_at(verts, eye), 30.0)
     fv = core.face_vertices(verts, jnp.asarray(f)[None]).reshape(B, -1, 9)
     F = fv.shape[1]
-    tex = jnp.ones((B, F, 1, 3), jnp.float32)
+    TS = args.texture_size
+    tex = (jnp.ones((B, F, 1, 3), jnp.float32) if TS == 1 else
+           jnp.asarray(np.random.RandomState(0).rand(B, F, TS, 3),
+                       jnp.float32))
 
     kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
-              aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+              aggr_alpha_func='probabilistic', aggr_rgb_func=args.rgb,
               backend=backend, face_chunk=args.face_chunk,
               pixel_tile=args.pixel_tile, compute_dtype=args.compute_dtype)
 
@@ -142,7 +150,9 @@ def main():
         'metric': f'Mpixel-triangle tests/sec fwd+bwd {is_}^2 {F}f '
                   f'({backend}'
                   + (f', {args.compute_dtype}' if args.compute_dtype != 'f32'
-                     else '') + ')',
+                     else '')
+                  + (f', {args.rgb} TS={TS}' if (TS != 1
+                     or args.rgb != 'hard') else '') + ')',
         'value': round(mpairs_per_s, 1),
         'unit': 'Mpair/s',
         'vs_baseline': round(mpairs_per_s / target, 3),

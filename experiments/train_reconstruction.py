@@ -260,6 +260,92 @@ def _synthetic_shape(rng, family, v):
         out[:, 1] *= r
         out[:, 2] *= r
         return out.astype(np.float32)
+    # --- the 10 extra families that bring the synthetic benchmark to the
+    # reference's 13-class scale (train_reconstruction.py:254-268 lists 13
+    # ShapeNet classes; these are honest procedural stand-ins, each with a
+    # distinct silhouette statistic, not ShapeNet data) ---
+    if family == 'syn_disk':
+        # flattened ellipsoid (display/table-top-like aspect)
+        out = v * scale[None, :]
+        out[:, 1] *= 0.25 + rng.rand() * 0.15
+        return out.astype(np.float32)
+    if family == 'syn_pear':
+        # linear taper along y (lamp-shade-like)
+        t = 0.35 + rng.rand() * 0.25
+        r = 1.0 - t * (v[:, 1] + 1.0) * 0.5
+        out = v * scale[None, :]
+        out[:, 0] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    if family == 'syn_star':
+        # radial lobes around the y axis
+        k = rng.choice([3, 4, 5])
+        a = 0.18 + rng.rand() * 0.12
+        theta = np.arctan2(v[:, 2], v[:, 0])
+        r = 1.0 + a * np.cos(k * theta) * (1.0 - v[:, 1] ** 2)
+        out = v * scale[None, :]
+        out[:, 0] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    if family == 'syn_bump':
+        # one gaussian protrusion at a random surface direction
+        d = rng.randn(3)
+        d /= np.linalg.norm(d)
+        a = 0.5 + rng.rand() * 0.3
+        r = 1.0 + a * np.exp(-((1.0 - v @ d) / 0.3) ** 2)
+        return (v * r[:, None] * scale[None, :] * 0.8).astype(np.float32)
+    if family == 'syn_dumbbell':
+        # deep asymmetric two-lobe pinch
+        pinch = 0.62 + rng.rand() * 0.18
+        c = rng.rand() * 0.3 - 0.15
+        r = 1.0 - pinch * np.exp(-((v[:, 0] - c) / 0.3) ** 2)
+        out = v * scale[None, :]
+        out[:, 1] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    if family == 'syn_cone':
+        # taper to a near-point at +y
+        t = 0.75 + rng.rand() * 0.2
+        r = 1.0 - t * np.clip(v[:, 1], 0.0, 1.0)
+        out = v * scale[None, :]
+        out[:, 0] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    if family == 'syn_capsule':
+        # stretched midsection with spherical caps
+        s = 0.8 + rng.rand() * 0.6
+        out = v * scale[None, :]
+        out[:, 0] = np.where(np.abs(v[:, 0]) < 0.5, v[:, 0] * (1 + s),
+                             np.sign(v[:, 0]) * (np.abs(v[:, 0]) + 0.5 * s))
+        out[:, 0] *= scale[0] * 0.7
+        return out.astype(np.float32)
+    if family == 'syn_egg':
+        # asymmetric ellipsoid: one end fatter
+        a = 0.25 + rng.rand() * 0.2
+        r = 1.0 + a * v[:, 1]
+        out = v * scale[None, :]
+        out[:, 0] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
+    if family == 'syn_twist':
+        # rotation around y proportional to height
+        a = (0.6 + rng.rand() * 0.8) * np.pi / 2
+        ang = a * v[:, 1]
+        c, s = np.cos(ang), np.sin(ang)
+        out = v * (scale * np.array([1.0, 1.0, 0.55]))[None, :]
+        x, z = out[:, 0].copy(), out[:, 2].copy()
+        out[:, 0] = c * x - s * z
+        out[:, 2] = s * x + c * z
+        return out.astype(np.float32)
+    if family == 'syn_wave':
+        # sinusoidal radial ripple along y
+        k = 2 + rng.randint(3)
+        a = 0.12 + rng.rand() * 0.1
+        r = 1.0 + a * np.sin(np.pi * k * v[:, 1])
+        out = v * scale[None, :]
+        out[:, 0] *= r
+        out[:, 2] *= r
+        return out.astype(np.float32)
     raise ValueError(family)
 
 
@@ -334,7 +420,22 @@ CLASS_IDS_MAP['synthetic'] = 'Synthetic'
 CLASS_IDS_MAP['syn_ellipsoid'] = 'SynEllipsoid'
 CLASS_IDS_MAP['syn_box'] = 'SynBox'
 CLASS_IDS_MAP['syn_peanut'] = 'SynPeanut'
+CLASS_IDS_MAP['syn_disk'] = 'SynDisk'
+CLASS_IDS_MAP['syn_pear'] = 'SynPear'
+CLASS_IDS_MAP['syn_star'] = 'SynStar'
+CLASS_IDS_MAP['syn_bump'] = 'SynBump'
+CLASS_IDS_MAP['syn_dumbbell'] = 'SynDumbbell'
+CLASS_IDS_MAP['syn_cone'] = 'SynCone'
+CLASS_IDS_MAP['syn_capsule'] = 'SynCapsule'
+CLASS_IDS_MAP['syn_egg'] = 'SynEgg'
+CLASS_IDS_MAP['syn_twist'] = 'SynTwist'
+CLASS_IDS_MAP['syn_wave'] = 'SynWave'
 SYNTHETIC_CLASSES = ('syn_ellipsoid', 'syn_box', 'syn_peanut')
+# the 13-class synthetic benchmark mirroring the reference's 13 ShapeNet
+# classes (reference train_reconstruction.py:254-268)
+SYNTHETIC_CLASSES_13 = SYNTHETIC_CLASSES + (
+    'syn_disk', 'syn_pear', 'syn_star', 'syn_bump', 'syn_dumbbell',
+    'syn_cone', 'syn_capsule', 'syn_egg', 'syn_twist', 'syn_wave')
 
 
 # ---------------------------------------------------------------------------
@@ -513,12 +614,17 @@ def main():
             print(f'dataset {gb:.2f} GB > 8 GB; streaming batches from '
                   f'host (use --host-data to silence)')
 
-    def train_step_body(params, batch_stats, opt_state, images_a, images_b,
-                        eyes_a, eyes_b, dist_scale, lr_scale):
-        if dev_images is not None:
+    def train_step_body(dev_imgs, params, batch_stats, opt_state, images_a,
+                        images_b, eyes_a, eyes_b, dist_scale, lr_scale):
+        # dev_imgs is threaded as a jit ARGUMENT, never a closure constant:
+        # the tunneled remote-compile service serializes captured constants
+        # into the compile request, and a multi-hundred-MB device-resident
+        # dataset blows its body-size limit (HTTP 413 at 0.33 GB / 13
+        # classes; closures worked only by accident at 3-class scale)
+        if dev_imgs is not None:
             # images_a/b are int32 ids into the device-resident array
-            images_a = dev_images[images_a].astype(jnp.float32) / 255.
-            images_b = dev_images[images_b].astype(jnp.float32) / 255.
+            images_a = dev_imgs[images_a].astype(jnp.float32) / 255.
+            images_b = dev_imgs[images_b].astype(jnp.float32) / 255.
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, images_a, images_b,
                                    eyes_a, eyes_b, dist_scale)
@@ -530,15 +636,16 @@ def main():
     train_step = jax.jit(train_step_body)
 
     @jax.jit
-    def train_block(params, batch_stats, opt_state, ia, ib, ea, eb,
-                    dist_scale, lr_scale):
+    def train_block(dev_imgs, params, batch_stats, opt_state, ia, ib, ea,
+                    eb, dist_scale, lr_scale):
         """n staged batches trained in one dispatch via lax.scan — on a
         high-latency link the per-step host roundtrip dominates otherwise."""
         def one(carry, xs):
             p, bs, os_ = carry
             a, b, ea_, eb_ = xs
-            p, bs, os_, loss = train_step_body(p, bs, os_, a, b, ea_, eb_,
-                                               dist_scale, lr_scale)
+            p, bs, os_, loss = train_step_body(dev_imgs, p, bs, os_, a, b,
+                                               ea_, eb_, dist_scale,
+                                               lr_scale)
             return (p, bs, os_), loss
         (params, batch_stats, opt_state), losses = jax.lax.scan(
             one, (params, batch_stats, opt_state), (ia, ib, ea, eb))
@@ -678,8 +785,9 @@ def main():
         if n == 1:
             ia, ib, ea, eb = batches[0]
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, put(ia), put(ib), put(ea),
-                put(eb), jnp.float32(dist_scale), jnp.float32(lr_scale))
+                dev_images, params, batch_stats, opt_state, put(ia),
+                put(ib), put(ea), put(eb), jnp.float32(dist_scale),
+                jnp.float32(lr_scale))
             # keep the loss on device: a float() here would block the host
             # on every step and serialize dispatch with the device (fatal
             # on a high-latency link); fetched lazily at print time
@@ -688,7 +796,7 @@ def main():
             stk = [put_stacked(np.stack([b[k] for b in batches]))
                    for k in range(4)]
             params, batch_stats, opt_state, lvec = train_block(
-                params, batch_stats, opt_state, *stk,
+                dev_images, params, batch_stats, opt_state, *stk,
                 jnp.float32(dist_scale), jnp.float32(lr_scale))
             losses.extend([lvec[j] for j in range(n)])
         i_last = i + n - 1

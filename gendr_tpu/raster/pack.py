@@ -54,10 +54,21 @@ def num_rows(texture_type, TS, with_tex=True):
     textures contribute 9 rows.  with_tex=False packs geometry rows only
     (the streaming XLA backend samples colors from the texture tensor
     directly, so its packed block stays O(1) in TS).
+
+    Above the kernel's unroll cap (pallas_backend.TEXEL_UNROLL_CAP) the
+    texel rows are padded to a TEXEL_BLOCK multiple so the kernels' blocked
+    ``fori_loop`` slices (3*TEXEL_BLOCK rows at a time) never leave the
+    slab; padded rows are zeros and are never selected (the texel index is
+    clipped to TS-1).
     """
     if not with_tex:
         return NI_BASE
-    tex_rows = 9 if texture_type == C.TEXTURE_VERTEX else 3 * TS
+    if texture_type == C.TEXTURE_VERTEX:
+        tex_rows = 9
+    elif TS > 36:  # == pallas_backend.TEXEL_UNROLL_CAP
+        tex_rows = 3 * (-(-TS // 8) * 8)  # 8 == TEXEL_BLOCK
+    else:
+        tex_rows = 3 * TS
     n = NI_BASE + tex_rows
     return -(-n // 8) * 8
 

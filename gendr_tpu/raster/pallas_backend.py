@@ -58,6 +58,21 @@ BIG_DEPTH = X.BIG_DEPTH
 # pixel gather forward + a segment-sum backward), so hard RGB switches to
 # the deferred path — which also removes any texture-size cap.
 HARD_INKERNEL_TS_CAP = 25
+# surface-texture one-hot sampling: unroll up to this many texels; above
+# it, stream TEXEL_BLOCK texels per fori_loop step (code size O(1) in TS)
+TEXEL_UNROLL_CAP = 36
+TEXEL_BLOCK = 8
+# softmax-RGB surface textures beyond this fall back to the XLA scan
+# (VMEM slab budget; texture_res 32 = 4x the reference's load_obj max)
+SOFTMAX_TS_CAP = 1024
+
+
+def _tex_blocked(cfg: C.RenderConfig, TS):
+    """True when surface texel rows use the blocked streaming layout (texel
+    rows padded to a TEXEL_BLOCK multiple; backward texture grads start at
+    an 8-aligned accumulator row)."""
+    return (cfg.texture_type == C.TEXTURE_SURFACE
+            and TS > TEXEL_UNROLL_CAP)
 
 
 def _hard_inkernel(cfg: C.RenderConfig, TS):
@@ -102,11 +117,16 @@ def _tconorm_butterfly(tid, frag, p):
     return frag[:, :1]
 
 
-def _colors(row, q, cfg: C.RenderConfig, TS=1):
+def _colors(row, q, cfg: C.RenderConfig, TS=1, rowblk=None):
     """Per-pair colors for in-kernel RGB (forward_sample_texture,
     cu:175-191): vertex = barycentric blend; surface = folded R x R texel
-    grid, selected by a one-hot sum over the packed texel rows (TS is small;
-    Mosaic has no per-lane gather)."""
+    grid, selected by a one-hot sum over the packed texel rows (Mosaic has
+    no per-lane gather).  Small TS unrolls the one-hot; TS above
+    TEXEL_UNROLL_CAP streams TEXEL_BLOCK texels at a time through a
+    ``fori_loop`` with dynamic sublane slices of the packed slab
+    (``rowblk``), which bounds the Mosaic program size at O(1) in TS while
+    keeping the whole softmax-RGB path in-kernel for texture_res up to 16+
+    (reference load_obj.py:33-106 supports texture_res 16 -> TS=256)."""
     if cfg.texture_type == C.TEXTURE_VERTEX:
         w = q['wcn']
         return [w[0] * row(pack.R_TEX + c) + w[1] * row(pack.R_TEX + 3 + c)
@@ -114,12 +134,31 @@ def _colors(row, q, cfg: C.RenderConfig, TS=1):
     if TS == 1:
         return [row(pack.R_TEX + c) for c in range(3)]
     ti = _texel_index(q, TS)
-    cols = [jnp.zeros_like(q['frag']) for _ in range(3)]
-    for t in range(TS):
-        m = ti == t
-        for c in range(3):
-            cols[c] = jnp.where(m, row(pack.R_TEX + 3 * t + c), cols[c])
-    return cols
+    if TS <= TEXEL_UNROLL_CAP or rowblk is None:
+        cols = [jnp.zeros_like(q['frag']) for _ in range(3)]
+        for t in range(TS):
+            m = ti == t
+            for c in range(3):
+                cols[c] = jnp.where(m, row(pack.R_TEX + 3 * t + c), cols[c])
+        return cols
+
+    TB = TEXEL_BLOCK
+    nblk = -(-TS // TB)
+    zero = jnp.zeros_like(q['frag'])
+
+    def blk_body(b, acc):
+        # (3*TB, FC) texel-color rows of this block; pack pads the texel
+        # rows to a TB multiple, so the slice never leaves the slab, and
+        # ti is clipped to TS-1, so padded texels are never selected
+        rows = rowblk(pack.R_TEX + 3 * TB * b, 3 * TB)
+        out = list(acc)
+        for u in range(TB):
+            m = ti == b * TB + u
+            for c in range(3):
+                out[c] = jnp.where(m, rows[3 * u + c][None, :], out[c])
+        return tuple(out)
+
+    return list(jax.lax.fori_loop(0, nblk, blk_body, (zero, zero, zero)))
 
 
 def _texel_index_from_w(w0, w1, TS):
@@ -267,6 +306,11 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
         def row(i):
             return buf_ref[slot, i, :].reshape(1, FC)
 
+        def rowblk(start, nrows):
+            # (nrows, FC) slab rows at a traced 8-aligned start (blocked
+            # texel streaming, see _colors)
+            return buf_ref[slot, pl.ds(start, nrows), :]
+
         # in-kernel color paths need normalized barycentrics for vertex
         # blending / texel indexing; for hard RGB the pair math hands back
         # the raw barycentrics (winners are inside-loose, where raw ==
@@ -309,7 +353,7 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
                     jnp.where(better, cidf, cidb)]
             if hard_ink:
                 cr, cg, cb = next(it), next(it), next(it)
-                color = _colors(row, q, cfg, TS)
+                color = _colors(row, q, cfg, TS, rowblk=rowblk)
                 out += [jnp.where(better, color[0], cr),
                         jnp.where(better, color[1], cg),
                         jnp.where(better, color[2], cb)]
@@ -326,7 +370,7 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
             scale_old = jnp.exp((smax - m_new) / gamma)
             wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
                              0.0)
-            cols = _colors(row, q, cfg, TS)
+            cols = _colors(row, q, cfg, TS, rowblk=rowblk)
             out += [ssum * scale_old + jnp.sum(wexp, axis=1, keepdims=True),
                     m_new,
                     sr * scale_old + jnp.sum(wexp * cols[0], axis=1,
@@ -388,18 +432,20 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
 
 def fallback_reason(cfg, textures):
     """Why this config is outside the pallas kernels' envelope (or None):
-    very high-res surface textures on the SOFTMAX color path (every face
-    contributes, so sampling must happen in-kernel, and R > 6 would need
-    > 108 one-hot texel selections per pair — hard RGB has no such limit:
-    its sampling is an epilogue gather keyed on the winner id), or an image
-    size with no 128-aligned pixel tiling (Mosaic DMA alignment; only
-    constrains real TPUs)."""
+    extreme surface textures on the SOFTMAX color path (every face
+    contributes, so sampling must happen in-kernel: TS <= 36 unrolls the
+    one-hot, larger TS streams texel blocks through a fori_loop up to
+    SOFTMAX_TS_CAP=1024 — 4x the reference's load_obj texture_res max of
+    16 -> TS=256; hard RGB has no limit at all: its sampling is an
+    epilogue gather keyed on the winner id), or an image size with no
+    128-aligned pixel tiling (Mosaic DMA alignment; only constrains real
+    TPUs)."""
     if (cfg.channels != 'alpha' and cfg.aggr_rgb_func == C.RGB_SOFTMAX
             and cfg.texture_type == C.TEXTURE_SURFACE
-            and textures.shape[2] > 36):
+            and textures.shape[2] > SOFTMAX_TS_CAP):
         return (f'surface texture_res {int(round(textures.shape[2]**0.5))} '
-                f'(TS={textures.shape[2]} texels/face > 36) with softmax '
-                f'RGB')
+                f'(TS={textures.shape[2]} texels/face > {SOFTMAX_TS_CAP}) '
+                f'with softmax RGB')
     if not _interpret() and not _tiles_feasible(cfg.image_size,
                                                 cfg.pixel_tile):
         return (f'image_size {cfg.image_size} has no 128-aligned pixel '
@@ -844,12 +890,21 @@ def _align_fc(fc):
 
 # bwd per-face output columns: 9 vertex grads + texture grads
 def _n_tex_cols(cfg, TS=1):
-    return 9 if cfg.texture_type == C.TEXTURE_VERTEX else 3 * TS
+    if cfg.texture_type == C.TEXTURE_VERTEX:
+        return 9
+    if _tex_blocked(cfg, TS):
+        # padded to a whole number of TEXEL_BLOCK texel blocks so the
+        # kernel's dynamic accumulator slices stay 8-aligned
+        return 3 * TEXEL_BLOCK * (-(-TS // TEXEL_BLOCK))
+    return 3 * TS
 
 
 def _bwd_col_layout(cfg, TS=1):
     """Columns the backward kernel actually emits, as (NO_B, has_z,
-    has_tex).  Layout: [x0 y0 x1 y1 x2 y2] + [z0 z1 z2 if has_z] + tex.
+    has_tex, tex0).  Layout: [x0 y0 x1 y1 x2 y2] + [z0 z1 z2 if has_z] +
+    tex starting at row tex0 (== 16 for blocked big-TS surface textures so
+    the kernel's per-block dynamic accumulator writes land 8-aligned; rows
+    9..15 are unused zeros there).
     Vertex z-grads exist only on the softmax-depth path (cu:1026-1029);
     in-kernel texture grads on the softmax color path and on small-texture
     hard RGB (winner-id-masked); big-texture hard RGB routes them through
@@ -860,9 +915,11 @@ def _bwd_col_layout(cfg, TS=1):
         and cfg.aggr_rgb_func == C.RGB_SOFTMAX
     has_z = softmax
     has_tex = softmax or _hard_inkernel(cfg, TS)
-    no_b = 6 + (3 if has_z else 0) + (_n_tex_cols(cfg, TS) if has_tex
-                                      else 0)
-    return no_b, has_z, has_tex
+    tex0 = 9 if has_z else 6
+    if has_tex and _tex_blocked(cfg, TS):
+        tex0 = 16
+    no_b = tex0 + (_n_tex_cols(cfg, TS) if has_tex else 0)
+    return no_b, has_z, has_tex, tex0
 
 
 def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
@@ -910,6 +967,9 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
     def row(i):
         return packed_ref[0, i, :].reshape(1, FC)
+
+    def rowblk(start, nrows):
+        return packed_ref[0, pl.ds(start, nrows), :]
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -983,7 +1043,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
                                 - pcolm(cm['a1'])) / gamma)
                 / pcolm(cm['a0']), 0.0)
-            cols = _colors(row, q, cfg, TS)
+            cols = _colors(row, q, cfg, TS, rowblk=rowblk)
             c_xyz = (pcolm(cm['gr']) * (cols[0] - pcolm(cm['fr']))
                      + pcolm(cm['gr'] + 1) * (cols[1] - pcolm(cm['fr'] + 1))
                      + pcolm(cm['gr'] + 2)
@@ -1037,7 +1097,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                         colsum(cy * tw[i])]
         if gz is not None:
             updates += [colsum(gz[i]) for i in range(3)]
-        if gtex_coef is not None:
+        blocked = gtex_coef is not None and _tex_blocked(cfg, TS)
+        if gtex_coef is not None and not blocked:
             if cfg.texture_type == C.TEXTURE_VERTEX:
                 for j in range(3):
                     for c in range(3):
@@ -1054,7 +1115,35 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                     for c in range(3):
                         updates.append(colsum(
                             jnp.where(m, gtex_coef[c], 0.0)))
-        acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=0)
+        if not blocked:
+            acc_ref[:, :] = acc_ref[:, :] + jnp.stack(updates, axis=0)
+            return 0
+
+        # blocked big-TS texture grads: geometry rows 0..8 (padded to an
+        # 8-aligned 16-row block), then one dynamic 8-aligned accumulator
+        # write of 3*TEXEL_BLOCK rows per texel block (code size O(1) in
+        # TS; backward_sample_texture semantics unchanged, cu:197-207)
+        zero_row = jnp.zeros((FC,), jnp.float32)
+        while len(updates) < 16:
+            updates.append(zero_row)
+        acc_ref[0:16, :] = acc_ref[0:16, :] + jnp.stack(updates, axis=0)
+
+        ti = _texel_index(q, TS)
+        TB = TEXEL_BLOCK
+        nblk = -(-TS // TB)
+
+        def blk_body(bb, _):
+            rows = []
+            for u in range(TB):
+                m = ti == bb * TB + u
+                for c in range(3):
+                    rows.append(colsum(jnp.where(m, gtex_coef[c], 0.0)))
+            r0 = 16 + 3 * TB * bb
+            acc_ref[pl.ds(r0, 3 * TB), :] = \
+                acc_ref[pl.ds(r0, 3 * TB), :] + jnp.stack(rows, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, blk_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -1130,7 +1219,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     # sublane dim of the DMA'd slab must be a multiple of 8
     pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - n_cols), (0, 0)))
 
-    NO_B, has_z, has_tex = _bwd_col_layout(cfg, TS)
+    NO_B, has_z, has_tex, tex0 = _bwd_col_layout(cfg, TS)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
                                T_tiles=T_tiles, K=K, NO_B=NO_B,
                                tile_w=tile_w, tile_h=tile_h, tx_n=tx_n,
@@ -1166,18 +1255,16 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     # re-inflate the suppressed all-zero columns (see _bwd_col_layout):
     # [x0 y0 x1 y1 x2 y2] (+ [z0 z1 z2]) (+ tex) -> [B, F, 9] + tex grads
     gxy = out[..., :6].reshape(B, F, 3, 2)
-    t0 = 6
     if has_z:
         gzv = out[..., 6:9, None]  # [B, F, 3(vertex), 1]
-        t0 = 9
     else:
         gzv = jnp.zeros((B, F, 3, 1), jnp.float32)
     grad_faces = jnp.concatenate([gxy, gzv], axis=-1).reshape(B, F, 9)
-    if has_tex:  # softmax RGB: in-kernel texture grads
+    if has_tex:  # softmax RGB: in-kernel texture grads (start at tex0)
         if cfg.texture_type == C.TEXTURE_VERTEX:
-            grad_tex = out[..., t0:t0 + 9].reshape(B, F, 3, 3)
+            grad_tex = out[..., tex0:tex0 + 9].reshape(B, F, 3, 3)
         else:
-            grad_tex = out[..., t0:t0 + 3 * TS].reshape(B, F, TS, 3)
+            grad_tex = out[..., tex0:tex0 + 3 * TS].reshape(B, F, TS, 3)
     elif cfg.channels != 'alpha':  # hard RGB: deferred winner segment-sum
         gt_sorted = _hard_tex_grad(packed, ag[:, 1], g[:, :3], cfg, TS, is_,
                                    hb, row0)

@@ -482,21 +482,25 @@ def test_pallas_obtuse_triangle_parity():
 
 
 class TestFallbackEnvelope:
-    """The pallas kernels' documented envelope: surface TS <= 36 and
-    128-aligned pixel tilings on real TPUs; outside it the render falls
-    back to the XLA backend per cfg.on_fallback."""
+    """The pallas kernels' documented envelope: surface softmax-RGB TS up
+    to SOFTMAX_TS_CAP (=1024; TS <= 36 unrolled one-hot, above it blocked
+    texel streaming), any TS for hard RGB, and 128-aligned pixel tilings
+    on real TPUs; outside it the render falls back to the XLA backend per
+    cfg.on_fallback."""
 
     def test_reasons(self):
         cfg = C.RenderConfig.create(image_size=256, backend='pallas')
         ok_tex = jnp.zeros((1, 4, 36, 3))
-        big_tex = jnp.zeros((1, 4, 49, 3))
+        blocked_tex = jnp.zeros((1, 4, 256, 3))  # texture_res 16
+        huge_tex = jnp.zeros((1, 4, 1089, 3))  # texture_res 33 > cap
         assert not PB.fallback_reason(cfg, ok_tex)
-        assert 'texture_res' in PB.fallback_reason(cfg, big_tex)
+        assert not PB.fallback_reason(cfg, blocked_tex)
+        assert 'texture_res' in PB.fallback_reason(cfg, huge_tex)
         # hard RGB samples textures in a deferred winner-id epilogue, so
         # arbitrarily large surface textures stay on the pallas path
         cfg_hard = C.RenderConfig.create(image_size=256, backend='pallas',
                                          aggr_rgb_func='hard')
-        assert not PB.fallback_reason(cfg_hard, big_tex)
+        assert not PB.fallback_reason(cfg_hard, huge_tex)
         assert not PB.fallback_reason(
             cfg_hard, jnp.zeros((1, 4, 256, 3)))  # texture_res 16
         # image-size tiling only constrains real TPUs; the static predicate
@@ -567,11 +571,47 @@ class TestFallbackEnvelope:
         np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                    atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize('ts', [
+        49, pytest.param(256, marks=pytest.mark.exhaustive)])
+    def test_softmax_big_texture_blocked_parity(self, ts):
+        """Softmax RGB with surface TS > TEXEL_UNROLL_CAP runs the BLOCKED
+        texel-streaming pallas path (fori_loop over TEXEL_BLOCK texel
+        slices of the packed slab; texture grads accumulated through
+        8-aligned dynamic accumulator writes) and matches the XLA backend
+        fwd + bwd.  TS=256 == the reference's load_obj texture_res max
+        (load_obj.py:33-106); it previously fell back to the XLA scan."""
+        assert PB._tex_blocked(
+            C.RenderConfig.create(backend='pallas'), ts)
+        rng = np.random.RandomState(5)
+        fv = random_scene(rng, B=1, F=9).reshape(1, 9, 9)
+        tex = rng.rand(1, 9, ts, 3).astype(np.float32)
+        cfg = C.RenderConfig.create(
+            image_size=16, dist_func='logistic',
+            aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
+            double_side=True, face_chunk=8, pixel_tile=64,
+            backend='pallas', on_fallback='error')
+        params = params_dict(dist_scale=3e-2)
+        fvj, texj = jnp.asarray(fv), jnp.asarray(tex)
+        finfo = prep.faces_info(fvj)
+        want, want_ag = X.forward(fvj, texj, finfo, cfg, params)
+        got, got_ag, aux = PB.forward_with_aux(fvj, texj, cfg, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-3)
+        g = jnp.asarray(rng.randn(1, 4, 16, 16).astype(np.float32))
+        want_f, want_t = X.backward(fvj, texj, finfo, want, want_ag, g,
+                                    cfg, params)
+        got_f, got_t = PB.backward_from_aux(fvj, texj, aux, got, got_ag, g,
+                                            cfg, params)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                                   atol=1e-5, rtol=1e-4)
+
     def test_error_mode_raises(self):
         from gendr_tpu.raster.render import render
         rng = np.random.RandomState(0)
         fv = random_scene(rng, B=1, F=3)
-        tex = np.ones((1, 3, 49, 3), np.float32)  # R=7 > envelope
+        tex = np.ones((1, 3, 1089, 3), np.float32)  # R=33 > envelope
         with pytest.raises(ValueError, match='on_fallback'):
             render(fv, tex, image_size=16, backend='pallas',
                    on_fallback='error')
@@ -580,7 +620,7 @@ class TestFallbackEnvelope:
         from gendr_tpu.raster.render import render
         rng = np.random.RandomState(0)
         fv = random_scene(rng, B=1, F=3)
-        tex = np.ones((1, 3, 49, 3), np.float32)
+        tex = np.ones((1, 3, 1089, 3), np.float32)
         with pytest.warns(RuntimeWarning, match='falling back'):
             got = render(fv, tex, image_size=16, backend='pallas',
                          on_fallback='warn')

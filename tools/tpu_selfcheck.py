@@ -74,6 +74,11 @@ CONFIGS = [
     # segment-sum texture-grad epilogues (no in-kernel texel cap)
     dict(dist_func='uniform', aggr_alpha_func='probabilistic',
          aggr_rgb_func='hard', dist_scale=1e-2, _ts=49),
+    # big surface texture on softmax RGB: the blocked texel-streaming
+    # path (fori_loop over TEXEL_BLOCK slices; dynamic 8-aligned
+    # accumulator writes in the backward) — previously an XLA fallback
+    dict(dist_func='logistic', aggr_alpha_func='probabilistic',
+         aggr_rgb_func='softmax', dist_scale=3e-3, _ts=49),
     # max t-conorm: winner detection by exact float equality (cu:574-575)
     # — the shared pair math (raster/pairmath.py) makes both backends'
     # coverages bitwise-equal on hardware, so this must agree exactly
