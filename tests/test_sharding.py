@@ -12,6 +12,18 @@ from gendr_tpu.parallel import sharding as S
 from gendr_tpu.raster.render import render
 from tests.test_render import random_scene, params_dict
 
+# Eager dispatch of the shard_map programs (and of the unsharded reference
+# renders / grads) op-by-op from Python dominated this file's wall time
+# (~5-8x the cost of one jit compile+run of the same program).  cfg and
+# mesh are hashable -> static; axis-name kwargs are static by name.
+J_RS = jax.jit(S.render_sharded, static_argnums=(2, 4),
+               static_argnames=('dp_axis', 'fp_axis', 'sp_axis', 'backend'))
+
+
+def _jit_grad2(loss):
+    """jit(grad(loss)) over the first two args."""
+    return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
 
 @pytest.fixture(scope='module')
 def mesh():
@@ -52,13 +64,14 @@ def test_sharded_forward_matches(mesh, mesh22, rgb, backend):
     params = params_dict(dist_scale=3e-2,
                          background_color=np.array([0.2, 0.1, 0.4]))
 
-    got = S.render_sharded(fv, tex, cfg, params, mesh)
+    got = J_RS(fv, tex, cfg, params, mesh)
     # reference = the SAME backend unsharded (sharding must be a no-op;
     # pallas-vs-xla parity is covered by test_pallas)
-    want = render(fv, tex, image_size=16, dist_func='uniform',
-                  aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
-                  dist_scale=3e-2, face_chunk=4, backend=backend,
-                  background_color=np.array([0.2, 0.1, 0.4]))
+    want = jax.jit(lambda fv_, tex_: render(
+        fv_, tex_, image_size=16, dist_func='uniform',
+        aggr_alpha_func='probabilistic', aggr_rgb_func=rgb,
+        dist_scale=3e-2, face_chunk=4, backend=backend,
+        background_color=np.array([0.2, 0.1, 0.4])))(fv, tex)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
@@ -96,10 +109,8 @@ def test_sharded_gradients_match(mesh, mesh22, rgb, backend):
                      dist_scale=5e-2, face_chunk=4, backend=backend)
         return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
 
-    g_sh = jax.grad(loss_sharded, argnums=(0, 1))(jnp.asarray(fv),
-                                                  jnp.asarray(tex))
-    g_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(fv),
-                                               jnp.asarray(tex))
+    g_sh = _jit_grad2(loss_sharded)(jnp.asarray(fv), jnp.asarray(tex))
+    g_ref = _jit_grad2(loss_ref)(jnp.asarray(fv), jnp.asarray(tex))
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-3)
@@ -119,10 +130,11 @@ def test_sharded_pallas_exotic_tconorms(mesh22, tcn, p):
                                 aggr_alpha_func=tcn, face_chunk=4,
                                 backend='pallas')
     params = params_dict(dist_scale=4e-2, aggr_alpha_t_conorm_p=p)
-    got = S.render_sharded(fv, tex, cfg, params, mesh)
-    want = render(fv, tex, image_size=16, dist_func='gaussian',
-                  aggr_alpha_func=tcn, aggr_alpha_t_conorm_p=p,
-                  dist_scale=4e-2, face_chunk=4, backend='pallas')
+    got = J_RS(fv, tex, cfg, params, mesh)
+    want = jax.jit(lambda fv_, tex_: render(
+        fv_, tex_, image_size=16, dist_func='gaussian',
+        aggr_alpha_func=tcn, aggr_alpha_t_conorm_p=p,
+        dist_scale=4e-2, face_chunk=4, backend='pallas'))(fv, tex)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
@@ -155,9 +167,10 @@ def test_pixel_sharded_render_matches(mesh222, rgb, backend):
     params = params_dict(dist_scale=3e-2,
                          background_color=np.array([0.2, 0.1, 0.4]))
 
-    got = S.render_sharded(fv, tex, cfg, params, mesh222, sp_axis='sp')
-    want = render(fv, tex, dist_scale=3e-2,
-                  background_color=np.array([0.2, 0.1, 0.4]), **kw)
+    got = J_RS(fv, tex, cfg, params, mesh222, sp_axis='sp')
+    want = jax.jit(lambda fv_, tex_: render(
+        fv_, tex_, dist_scale=3e-2,
+        background_color=np.array([0.2, 0.1, 0.4]), **kw))(fv, tex)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
@@ -172,10 +185,8 @@ def test_pixel_sharded_render_matches(mesh222, rgb, backend):
                      background_color=np.array([0.2, 0.1, 0.4]), **kw)
         return jnp.sum(img[:, 3] ** 2) + jnp.sum(img[:, :3] * 0.3)
 
-    g_sh = jax.grad(loss_sharded, argnums=(0, 1))(jnp.asarray(fv),
-                                                  jnp.asarray(tex))
-    g_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(fv),
-                                               jnp.asarray(tex))
+    g_sh = _jit_grad2(loss_sharded)(jnp.asarray(fv), jnp.asarray(tex))
+    g_ref = _jit_grad2(loss_ref)(jnp.asarray(fv), jnp.asarray(tex))
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-3)
