@@ -14,17 +14,20 @@ import pytest
 
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in xla_flags:
-    os.environ['XLA_FLAGS'] = (
-        xla_flags + ' --xla_force_host_platform_device_count=8').strip()
+    xla_flags += ' --xla_force_host_platform_device_count=8'
+# Compile-time trim for the CPU test backend: the interpret-mode Pallas
+# kernels lower to very large HLO graphs whose cold jit compile dominates
+# the suite's wall time on this 1-core box (~2/3 of a cold run).  Dropping
+# the backend optimization level + expensive LLVM passes cuts that compile
+# ~2x; execution stays in the low-ms range at test shapes.  Tests assert
+# parity between two backends compiled the same way, so the lower opt
+# level does not weaken any oracle.
+if 'xla_backend_optimization_level' not in xla_flags:
+    xla_flags += (' --xla_backend_optimization_level=0'
+                  ' --xla_llvm_disable_expensive_passes=true'
+                  ' --xla_cpu_enable_concurrency_optimized_scheduler=false')
+os.environ['XLA_FLAGS'] = xla_flags.strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
-
-# persistent XLA compilation cache: reruns skip recompiles (the dominant
-# test cost on this 1-core box is jit compile time, not execution)
-if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
-    os.environ['JAX_COMPILATION_CACHE_DIR'] = os.path.join(
-        os.path.dirname(__file__), '.jax_cache')
-    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS',
-                          '0.5')
 
 import jax  # noqa: E402
 
@@ -32,6 +35,15 @@ try:
     jax.config.update('jax_platforms', 'cpu')
 except Exception:
     pass
+
+# Persistent XLA compilation cache: reruns skip recompiles.  sitecustomize
+# imports jax before this file runs, so the JAX_COMPILATION_CACHE_DIR env
+# var is read (as unset) before we could export it — the config must be
+# updated at runtime instead.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 
 def pytest_configure(config):
