@@ -42,8 +42,17 @@ except Exception:
 # updated at runtime instead.
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+# GENDR_CACHE_READONLY=1 serves existing cache entries but suppresses new
+# writes (threshold no compile can reach).  The write path serializes the
+# executable through zstandard in-process and has segfaulted on this
+# 1-core box under memory pressure during long exhaustive runs; reads have
+# never crashed.  Use it for marathon tiers where losing the process costs
+# more than re-compiling the few uncached programs.
+if os.environ.get('GENDR_CACHE_READONLY'):
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1e9)
+else:
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 
 def pytest_configure(config):
