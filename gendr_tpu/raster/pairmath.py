@@ -32,8 +32,8 @@ from gendr_tpu.raster import pack
 # the pixel-sharded path renders one band per device, NDC coords staying
 # global)
 (P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0) = range(15)
-NPAR = 15
+ P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, P_SINV) = range(16)
+NPAR = 16
 
 
 def _params_vec(params: Dict, row0=0):
@@ -55,7 +55,27 @@ def _params_vec(params: Dict, row0=0):
             jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
         bg[0], bg[1], bg[2],
         jnp.asarray(row0, jnp.float32),
+        # reciprocal scale: turns the per-pair u = sign*x/scale divide in
+        # the CDF/PDF chain into a multiply (divides are multi-pass on the
+        # VPU; this is one of the two per-pair slow ops on the headline
+        # config, the other being the dis = sqrt(dis2) below)
+        1.0 / jnp.asarray(params['dist_scale'], jnp.float32),
     ])
+
+
+def _dis_from_dis2(dis2, cfg):
+    """(dis, rdis) from the squared distance.
+
+    Non-squared dists need |dis| for the CDF and the backward needs
+    1/|dis| to normalize the distance direction (cu:1046-1050) — one
+    rsqrt serves both (dis = dis2 * rsqrt(dis2)), replacing a sqrt AND a
+    per-pair divide with one slow op + two multiplies.  The 1e-30 floor
+    bounds rdis so grad products dis_x * rdis stay finite (|dis_x| <=
+    dis by construction, so the product is <= 1-scaled regardless)."""
+    if cfg.dist_squared:
+        return dis2, None
+    rdis = jax.lax.rsqrt(jnp.maximum(dis2, 1e-30))
+    return dis2 * rdis, rdis
 
 
 def sel3(idx, c):
@@ -125,7 +145,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         zero = jnp.zeros(w0.shape, jnp.float32)
         q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
                  dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
-                 cull=jnp.zeros_like(inside))
+                 cull=jnp.zeros_like(inside), rdis=zero)
     elif fwd_only:
         # Forward pass needs only dis^2: the region decision tree
         # (cu:127-139) exists to FIND the minimizing clamped edge, so a
@@ -152,10 +172,11 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # `inside` must select between f32 values, see the relayout note)
         dis2 = jnp.where(inside, f32(d2u_min), f32(d2c_min))
         cull = (~inside) & (dis2 >= thr)
-        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
+        dis, _ = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1],
+                     scale_inv=par[P_SINV])
         q.update(sign=sign, dis=dis, cull=cull)
     else:
         # Per edge, fold the inside/outside cases elementwise up front:
@@ -211,12 +232,15 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # backward detects its winner by exact equality, cu:574-575)
         dis2 = jnp.minimum(jnp.minimum(d2sel[0], d2sel[1]), d2sel[2])
         cull = (~inside) & (dis2 >= thr)
-        dis = dis2 if cfg.dist_squared else jnp.sqrt(dis2)
+        dis, rdis = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1],
+                     scale_inv=par[P_SINV])
         q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
                  tv=tv_sel, ksel=ksel, cull=cull)
+        if rdis is not None:
+            q['rdis'] = rdis
 
     valid = (~q['cull']) & (frag > 1e-6) & (f32(row(pack.R_FVALID)) > 0)
     frag = jnp.where(valid, frag, 0.0)

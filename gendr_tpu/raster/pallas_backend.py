@@ -46,7 +46,7 @@ from gendr_tpu.raster import pack
 from gendr_tpu.raster import xla_backend as X
 from gendr_tpu.raster.pairmath import (
     P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR,
-    P_FAR, P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, NPAR,
+    P_FAR, P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, P_SINV, NPAR,
     _params_vec, _pair_math)
 
 NEG_INF = -1e30
@@ -221,7 +221,10 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     """One program per pixel tile; in-kernel loop over the tile's compacted
     hit-chunk list with double-buffered HBM->VMEM DMA (misses are never
     touched — the TPU-native replacement for the reference's per-thread
-    early exits).
+    early exits).  (Tried: whole packed array VMEM-resident with dynamic
+    lane slicing instead of the DMA loop — zero runtime change at 1280
+    faces (double buffering already hides the copies) and a 13x Mosaic
+    compile-time blowup at 20480 faces.  The DMA loop stays.)
 
     Aggregation state is carried PER LANE (TP, FC) wherever the fold admits
     a per-lane sufficient statistic, so the chunk loop is purely elementwise
@@ -271,163 +274,184 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
             packed_hbm.at[b, :, pl.ds(0, FC)],
             buf_ref.at[slot], sem_ref.at[slot]).wait()
 
-    @pl.when(n > 0)
-    def _prefetch():
+    # ---- empty-tile short-circuit ----
+    # 61% of tiles have no hit chunks on a typical headline scene; their
+    # init + epilogue (six (TP, FC) carries + six cross-lane reductions)
+    # is a constant — write it directly and skip everything.  The values
+    # mirror the epilogue applied to the untouched init state: alpha 0 for
+    # every fold, no winner (BIG_DEPTH depth, -1 id, zero rgb), empty
+    # streaming softmax (ssum 0, smax -inf, zero rgb).
+    empty_vals = [0.0]
+    if cfg.channels != 'alpha':
+        if hard_rgb:
+            empty_vals += [BIG_DEPTH, -1.0] + ([0.0] * 3 if hard_ink else [])
+        else:
+            empty_vals += [0.0, NEG_INF, 0.0, 0.0, 0.0]
+
+    @pl.when(n == 0)
+    def _empty():
+        out_ref[0, :, :] = jnp.concatenate(
+            [jnp.full((1, TP), val, jnp.float32) for val in empty_vals],
+            axis=0)
+
+    def _fwd_tile_body():
         start_dma(0, 0)
 
-    # ---- loop carry: per-lane sufficient statistics ----
-    zTF = jnp.zeros((TP, FC), jnp.float32)
-    zT1 = jnp.zeros((TP, 1), jnp.float32)
-    init = []
-    if lane_alpha:
-        init.append(jnp.ones((TP, FC), jnp.float32)
-                    if tid == C.PROBABILISTIC_TCN else zTF)
-    else:
-        init.append(zT1)  # generic fold: (TP, 1) running alpha
-    if hard_rgb:
-        init += [jnp.full((TP, FC), NEG_INF, jnp.float32),  # best denom
-                 jnp.full((TP, FC), -1.0, jnp.float32)]     # its chunk id
-        if hard_ink:
-            init += [zTF, zTF, zTF]                          # its rgb
-    elif softmax_rgb:
-        init += [zT1, jnp.full((TP, 1), NEG_INF, jnp.float32),
-                 zT1, zT1, zT1]  # ssum, smax, rgb
-
-    def body(j, carry):
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n)
-        def _():
-            start_dma(jax.lax.rem(j + 1, 2), j + 1)
-
-        wait_dma(slot)
-        cid = chunk_id(j)
-
-        def row(i):
-            return buf_ref[slot, i, :].reshape(1, FC)
-
-        def rowblk(start, nrows):
-            # (nrows, FC) slab rows at a traced 8-aligned start (blocked
-            # texel streaming, see _colors)
-            return buf_ref[slot, pl.ds(start, nrows), :]
-
-        # in-kernel color paths need normalized barycentrics for vertex
-        # blending / texel indexing; for hard RGB the pair math hands back
-        # the raw barycentrics (winners are inside-loose, where raw ==
-        # clipped-normalized), so hard_ink never pays the divides
-        need_wcn = (softmax_rgb or hard_ink) \
-            and (cfg.texture_type == C.TEXTURE_VERTEX or TS > 1)
-        q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
-                       fwd_only=True, need_depth=cfg.channels != 'alpha')
-        frag = q['frag']
-        out = []
-        it = iter(carry)
-
-        # -- alpha (cu:791-801): one elementwise op per pair for the
-        # deferred folds; generic parametric folds butterfly per chunk
-        a = next(it)
-        if tid == C.ALPHA_HARD:
-            out.append(jnp.maximum(a, jnp.where(frag > 0.5, 1.0, 0.0)))
-        elif tid == C.MAX_TCN:
-            out.append(jnp.maximum(a, frag))
-        elif tid == C.PROBABILISTIC_TCN:
-            out.append(a * (1.0 - frag))
-        elif tid == C.EINSTEIN_TCN:
-            out.append(a + jnp.log1p(-frag) - jnp.log1p(frag))
+        # ---- loop carry: per-lane sufficient statistics ----
+        zTF = jnp.zeros((TP, FC), jnp.float32)
+        zT1 = jnp.zeros((TP, 1), jnp.float32)
+        init = []
+        if lane_alpha:
+            init.append(jnp.ones((TP, FC), jnp.float32)
+                        if tid == C.PROBABILISTIC_TCN else zTF)
         else:
-            chunk = _tconorm_butterfly(tid, frag, par[P_TCP])
-            out.append(T.fold_step(tid, a, chunk, par[P_TCP]))
-
+            init.append(zT1)  # generic fold: (TP, 1) running alpha
         if hard_rgb:
-            # z-argmin as a per-lane denom argmax (zp = 1/denom for
-            # inside-loose pixels, see _pair_math); strict > keeps the
-            # earlier (lower-id) chunk on ties, matching cu:815-822.
-            # Small textures (hard_ink) carry the winner's color per lane;
-            # big ones resolve only the id and sample in the XLA epilogue
-            dbest, cidb = next(it), next(it)
-            hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
-            dm = jnp.where(hmask, q['denom'], NEG_INF)
-            better = dm > dbest
-            cidf = cid.astype(jnp.float32)
-            out += [jnp.where(better, dm, dbest),
-                    jnp.where(better, cidf, cidb)]
+            init += [jnp.full((TP, FC), NEG_INF, jnp.float32),  # best denom
+                     jnp.full((TP, FC), -1.0, jnp.float32)]     # its chunk id
             if hard_ink:
-                cr, cg, cb = next(it), next(it), next(it)
-                color = _colors(row, q, cfg, TS, rowblk=rowblk)
-                out += [jnp.where(better, color[0], cr),
-                        jnp.where(better, color[1], cg),
-                        jnp.where(better, color[2], cb)]
+                init += [zTF, zTF, zTF]                          # its rgb
         elif softmax_rgb:
-            # streaming softmax (cu:824-839)
-            ssum, smax, sr, sg, sb = next(it), next(it), next(it), \
-                next(it), next(it)
-            gamma = par[P_GAMMA]
-            cmask = q['valid'] & q['zvalid'] & q['front_ok']
-            zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
-            zn = jnp.where(cmask, zp_norm, NEG_INF)
-            mc = jnp.max(zn, axis=1, keepdims=True)
-            m_new = jnp.maximum(smax, mc)
-            scale_old = jnp.exp((smax - m_new) / gamma)
-            wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
-                             0.0)
-            cols = _colors(row, q, cfg, TS, rowblk=rowblk)
-            out += [ssum * scale_old + jnp.sum(wexp, axis=1, keepdims=True),
-                    m_new,
-                    sr * scale_old + jnp.sum(wexp * cols[0], axis=1,
-                                             keepdims=True),
-                    sg * scale_old + jnp.sum(wexp * cols[1], axis=1,
-                                             keepdims=True),
-                    sb * scale_old + jnp.sum(wexp * cols[2], axis=1,
-                                             keepdims=True)]
-        return tuple(out)
+            init += [zT1, jnp.full((TP, 1), NEG_INF, jnp.float32),
+                     zT1, zT1, zT1]  # ssum, smax, rgb
 
-    final = jax.lax.fori_loop(0, n, body, tuple(init))
+        def body(j, carry):
+            slot = jax.lax.rem(j, 2)
 
-    # ---- epilogue: one cross-lane reduction per tile ----
-    it = iter(final)
-    a = next(it)
-    if tid in (C.ALPHA_HARD, C.MAX_TCN):
-        alpha = jnp.max(a, axis=1, keepdims=True)
-    elif tid == C.PROBABILISTIC_TCN:
-        alpha = 1.0 - _lane_prod(a)
-    elif tid == C.EINSTEIN_TCN:
-        u = jnp.exp(jnp.sum(a, axis=1, keepdims=True))
-        alpha = (1.0 - u) / (1.0 + u)
-    else:
-        alpha = a
+            @pl.when(j + 1 < n)
+            def _():
+                start_dma(jax.lax.rem(j + 1, 2), j + 1)
 
-    if cfg.channels == 'alpha':
-        cols = [alpha]
-    elif hard_rgb:
-        dbest, cidb = next(it), next(it)
-        dmax = jnp.max(dbest, axis=1, keepdims=True)
-        any_v = dmax > NEG_INF
-        gid = cidb * FC + lane.astype(jnp.float32)
-        tie = dbest == dmax
-        gsel = jnp.min(jnp.where(tie, gid, 3e30), axis=1, keepdims=True)
+            wait_dma(slot)
+            cid = chunk_id(j)
 
-        cols = [alpha,
-                jnp.where(any_v, 1.0 / dmax, BIG_DEPTH),
-                jnp.where(any_v, gsel, -1.0)]
-        if hard_ink:
-            win = tie & (gid == gsel)
+            def row(i):
+                return buf_ref[slot, i, :].reshape(1, FC)
 
-            def wsel(x):
-                return jnp.sum(jnp.where(win, x, 0.0), axis=1,
-                               keepdims=True)
+            def rowblk(start, nrows):
+                # (nrows, FC) slab rows at a traced 8-aligned start (blocked
+                # texel streaming, see _colors)
+                return buf_ref[slot, pl.ds(start, nrows), :]
 
-            cols += [wsel(next(it)), wsel(next(it)), wsel(next(it))]
-    else:
-        ssum, smax, sr, sg, sb = next(it), next(it), next(it), next(it), \
-            next(it)
-        cols = [alpha, ssum, smax, sr, sg, sb]
+            # in-kernel color paths need normalized barycentrics for vertex
+            # blending / texel indexing; for hard RGB the pair math hands back
+            # the raw barycentrics (winners are inside-loose, where raw ==
+            # clipped-normalized), so hard_ink never pays the divides
+            need_wcn = (softmax_rgb or hard_ink) \
+                and (cfg.texture_type == C.TEXTURE_VERTEX or TS > 1)
+            q = _pair_math(row, xp, yp, par, cfg, need_wcn=need_wcn,
+                           fwd_only=True, need_depth=cfg.channels != 'alpha')
+            frag = q['frag']
+            out = []
+            it = iter(carry)
 
-    # emit channel-major (NO_F, TP): one VMEM transpose per tile keeps the
-    # whole epilogue SoA (no [P, C] <-> [C, P] relayout ever materializes)
-    # (Tried: folding background+finalize in-kernel here — measured ~6%
-    # SLOWER end-to-end than the SoA XLA epilogue; the per-tile concat +
-    # transpose of finalized columns costs more than it saves.)
-    out_ref[0, :, :] = jnp.transpose(jnp.concatenate(cols, axis=1), (1, 0))
+            # -- alpha (cu:791-801): one elementwise op per pair for the
+            # deferred folds; generic parametric folds butterfly per chunk
+            a = next(it)
+            if tid == C.ALPHA_HARD:
+                out.append(jnp.maximum(a, jnp.where(frag > 0.5, 1.0, 0.0)))
+            elif tid == C.MAX_TCN:
+                out.append(jnp.maximum(a, frag))
+            elif tid == C.PROBABILISTIC_TCN:
+                out.append(a * (1.0 - frag))
+            elif tid == C.EINSTEIN_TCN:
+                out.append(a + jnp.log1p(-frag) - jnp.log1p(frag))
+            else:
+                chunk = _tconorm_butterfly(tid, frag, par[P_TCP])
+                out.append(T.fold_step(tid, a, chunk, par[P_TCP]))
+
+            if hard_rgb:
+                # z-argmin as a per-lane denom argmax (zp = 1/denom for
+                # inside-loose pixels, see _pair_math); strict > keeps the
+                # earlier (lower-id) chunk on ties, matching cu:815-822.
+                # Small textures (hard_ink) carry the winner's color per lane;
+                # big ones resolve only the id and sample in the XLA epilogue
+                dbest, cidb = next(it), next(it)
+                hmask = q['valid'] & q['zvalid'] & q['in_loose'] & q['front_ok']
+                dm = jnp.where(hmask, q['denom'], NEG_INF)
+                better = dm > dbest
+                cidf = cid.astype(jnp.float32)
+                out += [jnp.where(better, dm, dbest),
+                        jnp.where(better, cidf, cidb)]
+                if hard_ink:
+                    cr, cg, cb = next(it), next(it), next(it)
+                    color = _colors(row, q, cfg, TS, rowblk=rowblk)
+                    out += [jnp.where(better, color[0], cr),
+                            jnp.where(better, color[1], cg),
+                            jnp.where(better, color[2], cb)]
+            elif softmax_rgb:
+                # streaming softmax (cu:824-839)
+                ssum, smax, sr, sg, sb = next(it), next(it), next(it), \
+                    next(it), next(it)
+                gamma = par[P_GAMMA]
+                cmask = q['valid'] & q['zvalid'] & q['front_ok']
+                zp_norm = (par[P_FAR] - q['zp']) / (par[P_FAR] - par[P_NEAR])
+                zn = jnp.where(cmask, zp_norm, NEG_INF)
+                mc = jnp.max(zn, axis=1, keepdims=True)
+                m_new = jnp.maximum(smax, mc)
+                scale_old = jnp.exp((smax - m_new) / gamma)
+                wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
+                                 0.0)
+                cols = _colors(row, q, cfg, TS, rowblk=rowblk)
+                out += [ssum * scale_old + jnp.sum(wexp, axis=1, keepdims=True),
+                        m_new,
+                        sr * scale_old + jnp.sum(wexp * cols[0], axis=1,
+                                                 keepdims=True),
+                        sg * scale_old + jnp.sum(wexp * cols[1], axis=1,
+                                                 keepdims=True),
+                        sb * scale_old + jnp.sum(wexp * cols[2], axis=1,
+                                                 keepdims=True)]
+            return tuple(out)
+
+        final = jax.lax.fori_loop(0, n, body, tuple(init))
+
+        # ---- epilogue: one cross-lane reduction per tile ----
+        it = iter(final)
+        a = next(it)
+        if tid in (C.ALPHA_HARD, C.MAX_TCN):
+            alpha = jnp.max(a, axis=1, keepdims=True)
+        elif tid == C.PROBABILISTIC_TCN:
+            alpha = 1.0 - _lane_prod(a)
+        elif tid == C.EINSTEIN_TCN:
+            u = jnp.exp(jnp.sum(a, axis=1, keepdims=True))
+            alpha = (1.0 - u) / (1.0 + u)
+        else:
+            alpha = a
+
+        if cfg.channels == 'alpha':
+            cols = [alpha]
+        elif hard_rgb:
+            dbest, cidb = next(it), next(it)
+            dmax = jnp.max(dbest, axis=1, keepdims=True)
+            any_v = dmax > NEG_INF
+            gid = cidb * FC + lane.astype(jnp.float32)
+            tie = dbest == dmax
+            gsel = jnp.min(jnp.where(tie, gid, 3e30), axis=1, keepdims=True)
+
+            cols = [alpha,
+                    jnp.where(any_v, 1.0 / dmax, BIG_DEPTH),
+                    jnp.where(any_v, gsel, -1.0)]
+            if hard_ink:
+                win = tie & (gid == gsel)
+
+                def wsel(x):
+                    return jnp.sum(jnp.where(win, x, 0.0), axis=1,
+                                   keepdims=True)
+
+                cols += [wsel(next(it)), wsel(next(it)), wsel(next(it))]
+        else:
+            ssum, smax, sr, sg, sb = next(it), next(it), next(it), next(it), \
+                next(it)
+            cols = [alpha, ssum, smax, sr, sg, sb]
+
+        # emit channel-major (NO_F, TP): one VMEM transpose per tile keeps the
+        # whole epilogue SoA (no [P, C] <-> [C, P] relayout ever materializes)
+        # (Tried: folding background+finalize in-kernel here — measured ~6%
+        # SLOWER end-to-end than the SoA XLA epilogue; the per-tile concat +
+        # transpose of finalized columns costs more than it saves.)
+        out_ref[0, :, :] = jnp.transpose(jnp.concatenate(cols, axis=1), (1, 0))
+
+    pl.when(n > 0)(_fwd_tile_body)
 
 
 def fallback_reason(cfg, textures):
@@ -1060,7 +1084,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                   for j in range(3)]
 
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'], par[P_SCALE],
-                      par[P_SHAPE], par[P_SHIFT], gamma_inv=par[P_GINV])
+                      par[P_SHAPE], par[P_SHIFT], gamma_inv=par[P_GINV],
+                      scale_inv=par[P_SINV])
         c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
         # closest-point weights tw from the selected edge (tv, ksel)
@@ -1079,9 +1104,10 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
             # |(dis_x, dis_y)| == dis by construction: the selected feature's
             # distance vector is either w_j m_k (|.|^2 = w_j^2 |m_k|^2 = d2u)
             # or w_j m_k + dd e_k with m_k _|_ e_k (|.|^2 = d2u + dd^2 |e|^2
-            # = d2c), exactly the quantity dis was drawn from — so reuse the
-            # already-computed sqrt instead of renormalizing (cu:1046-1050)
-            coef = q['sign'] * c_grad_xy / jnp.maximum(q['dis'], 1e-6)
+            # = d2c), exactly the quantity dis was drawn from — so the
+            # direction normalization reuses the rsqrt that produced dis
+            # (cu:1046-1050's normalization without its per-pair divide)
+            coef = q['sign'] * c_grad_xy * q['rdis']
 
         # accumulate per-face grads: reduce over the pixel (sublane) axis
         # (tried: ones-vector MXU matmul instead — no measurable gain,

@@ -455,7 +455,8 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         # distance chain (cu:1034-1052)
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'],
                       params['dist_scale'], params['dist_shape'],
-                      params['dist_shift'], gamma_inv=par[PM.P_GINV])
+                      params['dist_shift'], gamma_inv=par[PM.P_GINV],
+                      scale_inv=par[PM.P_SINV])
         c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
         tw = PM.tw_from_ksel(q['ksel'], q['tv'])
@@ -465,8 +466,9 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         else:
             # |(dis_x, dis_y)| == dis by construction (the selected
             # feature's distance vector is the quantity dis was drawn
-            # from), so reuse the already-computed sqrt (cu:1046-1050)
-            base_coef = q['sign'] * c_grad_xy / jnp.maximum(q['dis'], 1e-6)
+            # from), so the direction normalization reuses the rsqrt that
+            # produced dis — no per-pair divide (cu:1046-1050)
+            base_coef = q['sign'] * c_grad_xy * q['rdis']
 
         # per-chunk gradient tensors, reduced over pixels (deterministic)
         gface = []
