@@ -25,7 +25,7 @@ def main():
     ap.add_argument('--image-size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--face-chunk', type=int, default=128)
-    ap.add_argument('--pixel-tile', type=int, default=256)
+    ap.add_argument('--pixel-tile', type=int, default=128)
     ap.add_argument('--level', type=int, default=3,
                     help='icosphere subdivision level (3 = 1280 faces)')
     ap.add_argument('--texture-size', type=int, default=1,

@@ -139,8 +139,11 @@ class RenderConfig:
     backend: str = 'xla'
     # face-chunk size for the streaming aggregation scan
     face_chunk: int = 128
-    # pixel tile size for the Pallas kernel
-    pixel_tile: int = 256
+    # pixel tile size for the Pallas kernel.  128 (a 16x8 tile, the
+    # hardware minimum) measures ~2% faster than 256 at 256^2/1280f now
+    # that empty tiles short-circuit: finer tiles intersect fewer face
+    # chunks, and the extra (mostly empty) programs are nearly free
+    pixel_tile: int = 128
     # 'rgba' (reference semantics) or 'alpha' (silhouette-only fast path:
     # skips depth/RGB work entirely; RGB outputs are the background)
     channels: str = 'rgba'
@@ -165,7 +168,7 @@ class RenderConfig:
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
-               face_chunk=128, pixel_tile=256,
+               face_chunk=128, pixel_tile=128,
                channels='rgba', on_fallback='silent',
                compute_dtype='f32') -> 'RenderConfig':
         assert on_fallback in ('silent', 'warn', 'error'), on_fallback

@@ -79,23 +79,23 @@ def arcsin(x):
 
 
 def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
-        gamma_inv1=None, scale_inv=None):
+        gamma_inv1=None):
     """CDF of the selected distribution evaluated at sign*x with scale tau.
 
     Matches ``sigmoid_forward_cuda`` (cu:242-363) branch by branch.
     ``gamma_inv1`` optionally supplies 1/Gamma(shape+1) precomputed outside
-    (lgamma has no Mosaic lowering inside Pallas kernels).  ``scale_inv``
-    optionally supplies a precomputed 1/scale: the kernels pass it so the
-    per-pair vector/scalar divides here become multiplies (divides are
-    multi-pass on the TPU VPU and this runs once per (pixel, face) pair).
+    (lgamma has no Mosaic lowering inside Pallas kernels).
+
+    The u = sign*x/scale divides here stay DIVIDES deliberately: a
+    precomputed-reciprocal multiply was tried (perf-neutral — the kernels
+    are not slow-op-bound) and it made ``frag`` FMA-contraction-sensitive,
+    i.e. no longer bitwise-identical across program variants that fuse
+    differently (alpha-only vs rgba, forward vs backward-recompute) — which
+    the max t-conorm backward's exact-equality winner detection requires.
     """
     sign = jnp.asarray(sign, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
-
-    def _ds(v):  # v / scale, with the divide strength-reduced when possible
-        return v * scale_inv if scale_inv is not None else v / scale
-
-    u = _ds(sign * x)
+    u = sign * x / scale
 
     if dist_func == C.HEAVISIDE:
         return jnp.where(sign > 0, 1.0, 0.0)
@@ -108,10 +108,10 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
 
     if dist_func == C.RECIPROCAL:
         # cu:261 — note denominator uses x (non-negative), not sign*x
-        return u / (1.0 + _ds(x)) / 2.0 + 0.5
+        return u / (1.0 + x / scale) / 2.0 + 0.5
 
     if dist_func == C.LAPLACE:
-        e = 0.5 * _safe_exp(-_ds(x))
+        e = 0.5 * _safe_exp(-x / scale)
         return jnp.where(sign < 0, e, 1.0 - e)
 
     if dist_func == C.UNIFORM:
@@ -130,7 +130,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
 
     if dist_func in (C.GAMMA, C.GAMMA_REV):
         return _gamma_cdf(dist_func, sign, x, scale, shape, shift,
-                          gamma_inv1, scale_inv)
+                          gamma_inv1)
 
     if dist_func == C.WIGNER_SEMICIRCLE:
         # cu:320-327; in-branch |x| < scale so the sqrt argument is >= 0
@@ -165,7 +165,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
         else:
             xs = -(sign * x - shift * scale)
             lo = xs < 0.0
-        y = 1.0 - _safe_exp(-_ds(jnp.maximum(xs, 0.0)))
+        y = 1.0 - _safe_exp(-jnp.maximum(xs, 0.0) / scale)
         if dist_func == C.EXPONENTIAL:
             return jnp.where(lo, 0.0, y)
         return jnp.where(lo, 1.0, 1.0 - y)
@@ -173,8 +173,7 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
     raise ValueError(f'unknown dist_func id: {dist_func}')
 
 
-def _gamma_cdf(dist_func, sign, x, scale, shape, shift, gamma_inv1=None,
-               scale_inv=None):
+def _gamma_cdf(dist_func, sign, x, scale, shape, shift, gamma_inv1=None):
     """Regularized lower incomplete gamma via the same 32-term Kummer
     (confluent hypergeometric) series as the reference (cu:295-318):
 
@@ -186,8 +185,7 @@ def _gamma_cdf(dist_func, sign, x, scale, shape, shift, gamma_inv1=None,
     else:
         xs = -(sign * x - shift * scale)
         zero_out = xs <= 0.0  # cu:306: sign*x - shift*scale >= 0 -> return 1
-    z = jnp.maximum(xs, 1e-30) * scale_inv if scale_inv is not None \
-        else jnp.maximum(xs, 1e-30) / scale
+    z = jnp.maximum(xs, 1e-30) / scale
     saturate = z > C.GAMMA_THRESHOLD
 
     shape = jnp.asarray(shape, jnp.float32)
@@ -213,26 +211,21 @@ def _lgamma(v):
 
 
 def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
-        gamma_inv=None, scale_inv=None):
+        gamma_inv=None):
     """Derivative of ``cdf`` w.r.t. (sign*x) — ``sigmoid_backward_cuda``
     (cu:366-459) branch by branch, including its asymmetries (several PDFs
     ignore ``sign`` because the kernel always calls with x >= 0).
-    ``gamma_inv`` optionally supplies 1/Gamma(shape) precomputed outside;
-    ``scale_inv`` a precomputed 1/scale (see ``cdf``)."""
+    ``gamma_inv`` optionally supplies 1/Gamma(shape) precomputed outside."""
     sign = jnp.asarray(sign, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
-
-    def _ds(v):
-        return v * scale_inv if scale_inv is not None else v / scale
-
-    u = _ds(sign * x)
+    u = sign * x / scale
 
     if dist_func == C.HEAVISIDE:
         return jnp.zeros_like(x)
 
     if dist_func == C.LOGISTIC:
         y = 1.0 / (1.0 + _safe_exp(-u))
-        return _ds(y * (1.0 - y))
+        return y * (1.0 - y) / scale
 
     if dist_func == C.CAUCHY:
         return 1.0 / (_PI * scale + _PI / scale * x * x)
@@ -241,7 +234,7 @@ def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
         return scale / (2.0 * (scale + x) * (scale + x))
 
     if dist_func == C.LAPLACE:
-        return 0.5 / scale * _safe_exp(-_ds(x))
+        return 0.5 / scale * _safe_exp(-x / scale)
 
     if dist_func == C.UNIFORM:
         return jnp.where((u > -1.0) & (u < 1.0), 0.5 / scale, 0.0)
@@ -286,10 +279,10 @@ def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
         return jnp.where(x / scale > 1.0, 0.0, 2.0 / _PI / (scale * scale) * sq)
 
     if dist_func == C.GUMBEL_MAX:
-        return _ds(_safe_exp(-(u + _safe_exp(-u))))
+        return _safe_exp(-(u + _safe_exp(-u))) / scale
 
     if dist_func == C.GUMBEL_MIN:
-        return _ds(_safe_exp(-(-u + _safe_exp(u))))
+        return _safe_exp(-(-u + _safe_exp(u))) / scale
 
     if dist_func in (C.LEVY, C.LEVY_REV):
         if dist_func == C.LEVY:
@@ -310,7 +303,7 @@ def pdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
         else:
             xs = -(sign * x - shift * scale)
             zero_out = xs < 0.0
-        val = 1.0 / scale * _safe_exp(-_ds(jnp.maximum(xs, 0.0)))
+        val = 1.0 / scale * _safe_exp(-jnp.maximum(xs, 0.0) / scale)
         return jnp.where(zero_out, 0.0, val)
 
     raise ValueError(f'unknown dist_func id: {dist_func}')

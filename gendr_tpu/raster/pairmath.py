@@ -32,8 +32,8 @@ from gendr_tpu.raster import pack
 # the pixel-sharded path renders one band per device, NDC coords staying
 # global)
 (P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, P_SINV) = range(16)
-NPAR = 16
+ P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0) = range(15)
+NPAR = 15
 
 
 def _params_vec(params: Dict, row0=0):
@@ -55,11 +55,6 @@ def _params_vec(params: Dict, row0=0):
             jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
         bg[0], bg[1], bg[2],
         jnp.asarray(row0, jnp.float32),
-        # reciprocal scale: turns the per-pair u = sign*x/scale divide in
-        # the CDF/PDF chain into a multiply (divides are multi-pass on the
-        # VPU; this is one of the two per-pair slow ops on the headline
-        # config, the other being the dis = sqrt(dis2) below)
-        1.0 / jnp.asarray(params['dist_scale'], jnp.float32),
     ])
 
 
@@ -175,8 +170,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         dis, _ = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1],
-                     scale_inv=par[P_SINV])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, cull=cull)
     else:
         # Per edge, fold the inside/outside cases elementwise up front:
@@ -235,8 +229,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         dis, rdis = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
-                     par[P_SHIFT], gamma_inv1=par[P_GINV1],
-                     scale_inv=par[P_SINV])
+                     par[P_SHIFT], gamma_inv1=par[P_GINV1])
         q.update(sign=sign, dis=dis, dis_x=dis_x, dis_y=dis_y,
                  tv=tv_sel, ksel=ksel, cull=cull)
         if rdis is not None:

@@ -46,7 +46,7 @@ from gendr_tpu.raster import pack
 from gendr_tpu.raster import xla_backend as X
 from gendr_tpu.raster.pairmath import (
     P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR,
-    P_FAR, P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, P_SINV, NPAR,
+    P_FAR, P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, NPAR,
     _params_vec, _pair_math)
 
 NEG_INF = -1e30
@@ -1084,8 +1084,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                   for j in range(3)]
 
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'], par[P_SCALE],
-                      par[P_SHAPE], par[P_SHIFT], gamma_inv=par[P_GINV],
-                      scale_inv=par[P_SINV])
+                      par[P_SHAPE], par[P_SHIFT], gamma_inv=par[P_GINV])
         c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
         # closest-point weights tw from the selected edge (tv, ksel)

@@ -455,8 +455,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         # distance chain (cu:1034-1052)
         pdf_v = D.pdf(cfg.dist_func, q['sign'], q['dis'],
                       params['dist_scale'], params['dist_shape'],
-                      params['dist_shift'], gamma_inv=par[PM.P_GINV],
-                      scale_inv=par[PM.P_SINV])
+                      params['dist_shift'], gamma_inv=par[PM.P_GINV])
         c_grad_xy = jnp.where(valid, c_grad_xy * pdf_v, 0.0)
 
         tw = PM.tw_from_ksel(q['ksel'], q['tv'])
