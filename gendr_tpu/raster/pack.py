@@ -46,6 +46,15 @@ from gendr_tpu import config as C
 
 NI_BASE = 48
 
+# Surface-texel sampling strategy thresholds, shared with the Pallas
+# kernels (pallas_backend re-exports them): up to TEXEL_UNROLL_CAP texels
+# the one-hot selection is unrolled; above it, texel rows are streamed
+# TEXEL_BLOCK at a time and the packed layout pads them to a TEXEL_BLOCK
+# multiple so the kernels' dynamic 3*TEXEL_BLOCK-row slices never leave
+# the slab.  Defined HERE so layout and kernels can never desynchronize.
+TEXEL_UNROLL_CAP = 36
+TEXEL_BLOCK = 8
+
 
 def num_rows(texture_type, TS, with_tex=True):
     """Packed row count for a texture configuration (8-aligned).
@@ -55,18 +64,16 @@ def num_rows(texture_type, TS, with_tex=True):
     (the streaming XLA backend samples colors from the texture tensor
     directly, so its packed block stays O(1) in TS).
 
-    Above the kernel's unroll cap (pallas_backend.TEXEL_UNROLL_CAP) the
-    texel rows are padded to a TEXEL_BLOCK multiple so the kernels' blocked
-    ``fori_loop`` slices (3*TEXEL_BLOCK rows at a time) never leave the
-    slab; padded rows are zeros and are never selected (the texel index is
-    clipped to TS-1).
+    Above TEXEL_UNROLL_CAP the texel rows are padded to a TEXEL_BLOCK
+    multiple (see constants above); padded rows are zeros and are never
+    selected (the texel index is clipped to TS-1).
     """
     if not with_tex:
         return NI_BASE
     if texture_type == C.TEXTURE_VERTEX:
         tex_rows = 9
-    elif TS > 36:  # == pallas_backend.TEXEL_UNROLL_CAP
-        tex_rows = 3 * (-(-TS // 8) * 8)  # 8 == TEXEL_BLOCK
+    elif TS > TEXEL_UNROLL_CAP:
+        tex_rows = 3 * (-(-TS // TEXEL_BLOCK) * TEXEL_BLOCK)
     else:
         tex_rows = 3 * TS
     n = NI_BASE + tex_rows

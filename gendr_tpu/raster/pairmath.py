@@ -65,12 +65,14 @@ def _dis_from_dis2(dis2, cfg):
     1/|dis| to normalize the distance direction (cu:1046-1050) — one
     rsqrt serves both (dis = dis2 * rsqrt(dis2)), replacing a sqrt AND a
     per-pair divide with one slow op + two multiplies.  The 1e-30 floor
-    bounds rdis so grad products dis_x * rdis stay finite (|dis_x| <=
-    dis by construction, so the product is <= 1-scaled regardless)."""
+    keeps the forward dis exact down to 1e-15; the RETURNED rdis (used
+    only by the backward direction normalization) is clamped to 1e6,
+    matching the reference's max(|dis|, 1e-6) floor (cu:1050) so pairs
+    with 0 < dis < 1e-6 get reference-scale gradients."""
     if cfg.dist_squared:
         return dis2, None
     rdis = jax.lax.rsqrt(jnp.maximum(dis2, 1e-30))
-    return dis2 * rdis, rdis
+    return dis2 * rdis, jnp.minimum(rdis, 1e6)
 
 
 def sel3(idx, c):

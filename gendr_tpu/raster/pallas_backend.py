@@ -59,9 +59,11 @@ BIG_DEPTH = X.BIG_DEPTH
 # the deferred path — which also removes any texture-size cap.
 HARD_INKERNEL_TS_CAP = 25
 # surface-texture one-hot sampling: unroll up to this many texels; above
-# it, stream TEXEL_BLOCK texels per fori_loop step (code size O(1) in TS)
-TEXEL_UNROLL_CAP = 36
-TEXEL_BLOCK = 8
+# it, stream TEXEL_BLOCK texels per fori_loop step (code size O(1) in TS).
+# Defined in pack.py (single source of truth — the packed slab layout and
+# the kernels' dynamic texel-row slices must agree on both values).
+TEXEL_UNROLL_CAP = pack.TEXEL_UNROLL_CAP
+TEXEL_BLOCK = pack.TEXEL_BLOCK
 # softmax-RGB surface textures beyond this fall back to the XLA scan
 # (VMEM slab budget; texture_res 32 = 4x the reference's load_obj max)
 SOFTMAX_TS_CAP = 1024
