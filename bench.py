@@ -108,6 +108,17 @@ def main():
         # fetch is the reliable barrier
         return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
 
+    # Device-session warmup: on the tunneled (axon) backend the FIRST host
+    # fetch of any device value blocks until the server-side session is
+    # acquired — up to ~3 minutes when another process recently held the
+    # chip (measured 80-320 s across rounds; the r3 "318.8 s compile"
+    # was almost entirely this wait).  A trivial op absorbs it here so the
+    # compile+first-run line below measures OUR program, not the tunnel.
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((), jnp.float32) + jnp.float32(1.0))
+    print(f'device-session acquire+warmup: {time.perf_counter()-t0:.2f}s',
+          file=sys.stderr)
+
     eps = jnp.float32(0.0)
     t0 = time.perf_counter()
     try:
@@ -127,7 +138,11 @@ def main():
             sync(run_n(fv, tex, eps))
         else:
             raise
+    t1 = time.perf_counter()
+    print(f'  run_n trace+compile+first-run: {t1-t0:.2f}s', file=sys.stderr)
     sync(run_2n(fv, tex, eps))
+    print(f'  run_2n trace+compile+first-run: '
+          f'{time.perf_counter()-t1:.2f}s', file=sys.stderr)
     print(f'compile+first-run: {time.perf_counter()-t0:.2f}s',
           file=sys.stderr)
 

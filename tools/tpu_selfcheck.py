@@ -4,7 +4,16 @@ CPU tests run the Pallas kernels in interpret mode; this script runs the
 *compiled* Mosaic kernels on the real chip and cross-checks forward outputs
 and gradients against the XLA backend for a spread of configs.
 
-    python tools/tpu_selfcheck.py
+    python tools/tpu_selfcheck.py              # config spread + path pins
+    python tools/tpu_selfcheck.py --matrix    # full 18-dist x 10-t-conorm
+                                               # zoo as compiled Mosaic
+
+The --matrix mode compiles every branch of the reference kernel's function
+zoo (distribution ids cu:217-239, t-conorm ids cu:462-470) on the real
+chip — 180 configs, forward + gradient agreement vs the XLA backend, one
+seed at 64^2.  The same matrix runs in interpret mode on CPU in
+tests/test_pallas.py's exhaustive tier; this pins the compiled Mosaic
+lowering of each branch.
 """
 
 import os
@@ -262,6 +271,80 @@ def bf16_check():
                    f'img_agree={img_agree:.4f} grad_cos={cos:.4f}')
 
 
+ALL_DISTS = ['hard', 'uniform', 'cubic_hermite', 'wigner_semicircle',
+             'gaussian', 'laplace', 'logistic', 'gudermannian', 'cauchy',
+             'reciprocal', 'gumbel_max', 'gumbel_min', 'exponential',
+             'exponential_rev', 'gamma', 'gamma_rev', 'levy', 'levy_rev']
+
+# the 9 reference t-conorms (ids cu:462-470) + the hard threshold, with a
+# valid parameter where the family needs one (hamacher p>=0, frank p>0 !=1,
+# yager/aczel_alsina/dombi p>0, schweizer_sklar p<0)
+ALL_TCONORMS = [('hard', 0.0), ('max', 0.0), ('probabilistic', 0.0),
+                ('einstein', 0.0), ('hamacher', 0.5), ('frank', 2.0),
+                ('yager', 2.0), ('aczel_alsina', 1.5), ('dombi', 1.0),
+                ('schweizer_sklar', -2.0)]
+
+# per-distribution continuous params (gamma needs a shape; asymmetric dists
+# exercised with a nonzero shift, cu:302-307) — mirrors the CPU matrix in
+# tests/test_pallas.py
+DIST_PARAMS = {
+    'gamma': dict(dist_shape=2.0),
+    'gamma_rev': dict(dist_shape=2.0),
+    'levy': dict(dist_shift=0.1),
+    'levy_rev': dict(dist_shift=0.1),
+    'exponential': dict(dist_shift=0.05),
+    'gumbel_max': dict(dist_shift=0.05),
+}
+
+
+def matrix_check():
+    """Full function-zoo matrix as compiled Mosaic on the chip: 18 dists x
+    10 alpha t-conorms, fwd + grad agreement vs the XLA backend (hard RGB
+    so the gradient chain runs CDF-PDF x aggregate-inverse throughout)."""
+    fv, tex = scene(B=1, level=2)
+    failures = total = 0
+    for dist in ALL_DISTS:
+        for tcn, p in ALL_TCONORMS:
+            total += 1
+            kw = dict(image_size=64, dist_func=dist, aggr_alpha_func=tcn,
+                      aggr_alpha_t_conorm_p=p, aggr_rgb_func='hard',
+                      dist_scale=5e-2, **DIST_PARAMS.get(dist, {}))
+
+            def loss(v, t, backend):
+                img = render(v, t, backend=backend, **kw)
+                return jnp.sum(img[:, 3] ** 2) * 0.5 \
+                    + jnp.sum(img[:, :3]) * 0.1
+
+            def run(backend, tries=3):
+                for a in range(tries):
+                    try:
+                        img = jax.jit(lambda a_, b_: render(
+                            a_, b_, backend=backend, **kw))(fv, tex)
+                        g = jax.jit(jax.grad(
+                            lambda a_, b_: loss(a_, b_, backend),
+                            argnums=0))(fv, tex)
+                        return np.asarray(img), np.asarray(g)
+                    except Exception as e:
+                        if a == tries - 1:
+                            raise
+                        print(f'  retry {backend} after {type(e).__name__}',
+                              flush=True)
+
+            ix, gx = run('xla')
+            ip, gp = run('pallas')
+            img_err = np.abs(ix - ip).max()
+            gclose = np.isclose(gx, gp, atol=5e-4, rtol=5e-3).mean()
+            ok = bool(img_err < 2e-3 and gclose > 0.99)
+            failures += 0 if ok else 1
+            print(f'[{"OK  " if ok else "FAIL"}] {dist} x {tcn}'
+                  f'{f"(p={p})" if p else ""}: img_err={img_err:.2e} '
+                  f'grad_agree={gclose:.4f}', flush=True)
+    print(f'matrix: {total - failures}/{total} configs green',
+          flush=True)
+    print('selfcheck:', 'PASS' if failures == 0 else f'{failures} FAILURES')
+    return failures
+
+
 def main():
     fv, tex1 = scene()
     failures = 0
@@ -341,4 +424,6 @@ def main():
 
 
 if __name__ == '__main__':
+    if '--matrix' in sys.argv[1:]:
+        sys.exit(matrix_check())
     sys.exit(main())
