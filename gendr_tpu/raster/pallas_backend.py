@@ -119,16 +119,34 @@ def _tconorm_butterfly(tid, frag, p):
     return frag[:, :1]
 
 
-def _colors(row, q, cfg: C.RenderConfig, TS=1, rowblk=None):
+def _texel_block_range(ti, care, TS):
+    """Dynamic texel-block bounds [b0, b1) covering every texel index that a
+    pair the caller CARES about selects.  Pairs outside ``care`` contribute
+    nothing downstream (their blend weight / gradient coefficient is zero),
+    so blocks only they touch can be skipped; when a tile sees a small part
+    of a face's texel grid (large faces, high texture_res) this collapses
+    the block loop to the observed range.  Cost: two masked full-tile
+    reductions per chunk iteration."""
+    TB = TEXEL_BLOCK
+    timin = jnp.min(jnp.where(care, ti, TS))
+    timax = jnp.max(jnp.where(care, ti, -1))
+    # all-miss chunks give b0 = nblk, b1 = 0 -> the fori_loop runs 0 times
+    return timin // TB, timax // TB + 1
+
+
+def _colors(row, q, cfg: C.RenderConfig, TS=1, rowblk=None, care=None):
     """Per-pair colors for in-kernel RGB (forward_sample_texture,
     cu:175-191): vertex = barycentric blend; surface = folded R x R texel
     grid, selected by a one-hot sum over the packed texel rows (Mosaic has
-    no per-lane gather).  Small TS unrolls the one-hot; TS above
-    TEXEL_UNROLL_CAP streams TEXEL_BLOCK texels at a time through a
+    no per-lane gather — tpu.dynamic_gather only addresses one vreg, 8
+    sublanes, along the gather axis).  Small TS unrolls the one-hot; TS
+    above TEXEL_UNROLL_CAP streams TEXEL_BLOCK texels at a time through a
     ``fori_loop`` with dynamic sublane slices of the packed slab
     (``rowblk``), which bounds the Mosaic program size at O(1) in TS while
     keeping the whole softmax-RGB path in-kernel for texture_res up to 16+
-    (reference load_obj.py:33-106 supports texture_res 16 -> TS=256)."""
+    (reference load_obj.py:33-106 supports texture_res 16 -> TS=256).
+    ``care`` (optional bool mask) tightens the streamed loop to the texel
+    range actually selected by contributing pairs (_texel_block_range)."""
     if cfg.texture_type == C.TEXTURE_VERTEX:
         w = q['wcn']
         return [w[0] * row(pack.R_TEX + c) + w[1] * row(pack.R_TEX + 3 + c)
@@ -147,6 +165,10 @@ def _colors(row, q, cfg: C.RenderConfig, TS=1, rowblk=None):
     TB = TEXEL_BLOCK
     nblk = -(-TS // TB)
     zero = jnp.zeros_like(q['frag'])
+    if care is not None:
+        b0, b1 = _texel_block_range(ti, care, TS)
+    else:
+        b0, b1 = 0, nblk
 
     def blk_body(b, acc):
         # (3*TB, FC) texel-color rows of this block; pack pads the texel
@@ -160,7 +182,7 @@ def _colors(row, q, cfg: C.RenderConfig, TS=1, rowblk=None):
                 out[c] = jnp.where(m, rows[3 * u + c][None, :], out[c])
         return tuple(out)
 
-    return list(jax.lax.fori_loop(0, nblk, blk_body, (zero, zero, zero)))
+    return list(jax.lax.fori_loop(b0, b1, blk_body, (zero, zero, zero)))
 
 
 def _texel_index_from_w(w0, w1, TS):
@@ -394,7 +416,8 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
                 scale_old = jnp.exp((smax - m_new) / gamma)
                 wexp = jnp.where(cmask, frag * jnp.exp((zn - m_new) / gamma),
                                  0.0)
-                cols = _colors(row, q, cfg, TS, rowblk=rowblk)
+                cols = _colors(row, q, cfg, TS, rowblk=rowblk,
+                               care=cmask & (frag > 0.0))
                 out += [ssum * scale_old + jnp.sum(wexp, axis=1, keepdims=True),
                         m_new,
                         sr * scale_old + jnp.sum(wexp * cols[0], axis=1,
@@ -1069,7 +1092,8 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 frag * jnp.exp((jnp.where(cmask, zp_norm, NEG_INF)
                                 - pcolm(cm['a1'])) / gamma)
                 / pcolm(cm['a0']), 0.0)
-            cols = _colors(row, q, cfg, TS, rowblk=rowblk)
+            care = cmask & (frag > 0.0)
+            cols = _colors(row, q, cfg, TS, rowblk=rowblk, care=care)
             c_xyz = (pcolm(cm['gr']) * (cols[0] - pcolm(cm['fr']))
                      + pcolm(cm['gr'] + 1) * (cols[1] - pcolm(cm['fr'] + 1))
                      + pcolm(cm['gr'] + 2)
@@ -1157,7 +1181,10 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
         ti = _texel_index(q, TS)
         TB = TEXEL_BLOCK
-        nblk = -(-TS // TB)
+        # pairs outside ``care`` have gtex_coef == 0 (zp_softmax carries the
+        # cmask and a frag factor), so the block loop only needs to visit
+        # the texel range contributing pairs actually select
+        bb0, bb1 = _texel_block_range(ti, care, TS)
 
         def blk_body(bb, _):
             rows = []
@@ -1170,7 +1197,7 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
                 acc_ref[pl.ds(r0, 3 * TB), :] + jnp.stack(rows, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, nblk, blk_body, 0)
+        jax.lax.fori_loop(bb0, bb1, blk_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
