@@ -33,9 +33,6 @@ def main():
                          'exercises the blocked texel-streaming path')
     ap.add_argument('--rgb', default='hard',
                     help='hard (headline) | softmax')
-    ap.add_argument('--compute-dtype', default='f32',
-                    help="f32 (parity, the headline) | bf16 (opt-in packed "
-                         "per-pair algebra; see docs/DESIGN.md)")
     ap.add_argument('--allow-fallback', action='store_true',
                     help='fall back to the XLA backend if the pallas path '
                          'fails at runtime (default: fail loudly — a '
@@ -75,7 +72,7 @@ def main():
     kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
               aggr_alpha_func='probabilistic', aggr_rgb_func=args.rgb,
               backend=backend, face_chunk=args.face_chunk,
-              pixel_tile=args.pixel_tile, compute_dtype=args.compute_dtype)
+              pixel_tile=args.pixel_tile)
 
     def loss(fv_, tex_):
         img = render(fv_, tex_, **kw)
@@ -164,8 +161,6 @@ def main():
     print(json.dumps({
         'metric': f'Mpixel-triangle tests/sec fwd+bwd {is_}^2 {F}f '
                   f'({backend}'
-                  + (f', {args.compute_dtype}' if args.compute_dtype != 'f32'
-                     else '')
                   + (f', {args.rgb} TS={TS}' if (TS != 1
                      or args.rgb != 'hard') else '') + ')',
         'value': round(mpairs_per_s, 1),

@@ -151,28 +151,22 @@ class RenderConfig:
     # or a non-128-tileable image size on real TPUs): 'silent' routes to the
     # XLA backend, 'warn' additionally emits a RuntimeWarning, 'error' raises
     on_fallback: str = 'silent'
-    # 'f32' (default, reference-parity numerics) or 'bf16': the pallas
-    # FORWARD kernel computes the per-pair distance/coverage math in
-    # bfloat16 (2x VPU packing, half the packed-constant DMA bytes).
-    # Opt-in: bf16 quantizes barycentric magnitudes to ~2^-8 relative, so
-    # silhouette boundaries move by O(0.1) px at 256^2 — fine for
-    # large-tau silhouette losses, wrong for tight-tolerance pose
-    # gradients.  Measured on a v5e it is 19-24% SLOWER than f32 at both
-    # 1.3k and 20k faces (the f32 upcasts before every mask-producing
-    # compare — a Mosaic i1-relayout constraint — eat the packing win;
-    # see docs/DESIGN.md perf journal), so f32 is also the throughput
-    # recommendation.  Backward always runs f32.
-    compute_dtype: str = 'f32'
+    # NOTE: a bf16 per-pair compute mode (packed distance/coverage math)
+    # was built, hardware-validated, and REMOVED in round 4: measured on a
+    # v5e it was 19-24% SLOWER than f32 at both 1.3k and 20k faces — the
+    # f32 upcasts before every mask-producing compare (a Mosaic
+    # i1-relayout constraint: 16- and 32-bit mask tilings cannot mix) eat
+    # the 2x packing win, and only ~15 of the ~55 per-pair ops are
+    # packable FMAs to begin with (a <=13% ceiling).  See docs/DESIGN.md
+    # perf journal for the measurements.
 
     @classmethod
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
                face_chunk=128, pixel_tile=128,
-               channels='rgba', on_fallback='silent',
-               compute_dtype='f32') -> 'RenderConfig':
+               channels='rgba', on_fallback='silent') -> 'RenderConfig':
         assert on_fallback in ('silent', 'warn', 'error'), on_fallback
-        assert compute_dtype in ('f32', 'bf16'), compute_dtype
         return cls(
             image_size=int(image_size),
             dist_func=resolve(dist_func, DIST_FUNC_MAP),
@@ -186,7 +180,6 @@ class RenderConfig:
             pixel_tile=int(pixel_tile),
             channels=channels,
             on_fallback=on_fallback,
-            compute_dtype=compute_dtype,
         )
 
 

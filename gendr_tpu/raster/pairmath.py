@@ -117,25 +117,15 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
         + row(pack.R_INV + 8)
 
-    # bf16 mode: the row*pixel multiply-add chains above (and the edge
-    # algebra below) run packed; EVERYTHING that produces or consumes an
-    # i1 mask is upcast to f32 first.  Mosaic cannot relayout i1 vectors
-    # between the 16-bit and 32-bit tilings (observed on v5e: "Invalid
-    # relayout ... vector<256x128xi1>"), so a mask from a bf16 compare
-    # must never meet a mask from an f32 compare.
-    packed_bf16 = w0.dtype == jnp.bfloat16
-    f32 = lambda a: a.astype(jnp.float32) if packed_bf16 else a
-
     # the three barycentric rows sum to 1 by construction (pack.py emits
     # them from one inverse matrix), so all w_i > 0 already implies every
     # w_i < 1: the upper test is redundant and the wmax chain is dead —
     # ~6 fewer VPU ops on every (pixel, face) pair in both kernels
-    wmin = f32(jnp.minimum(jnp.minimum(w0, w1), w2))
+    wmin = jnp.minimum(jnp.minimum(w0, w1), w2)
     inside = wmin > 0
     in_loose = wmin >= 0
 
-    q = dict(w=(f32(w0), f32(w1), f32(w2)), inside=inside,
-             in_loose=in_loose)
+    q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose)
 
     if cfg.dist_func == C.HEAVISIDE:
         frag = jnp.where(in_loose, 1.0, 0.0)
@@ -164,10 +154,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             d2c = d2u + dd * dd * row(pack.R_E2 + k)
             d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
             d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
-        # bf16 mode: the algebra above ran packed; the CDF chain and the
-        # aggregation fold stay f32 (one upcast per operand — the f32 mask
-        # `inside` must select between f32 values, see the relayout note)
-        dis2 = jnp.where(inside, f32(d2u_min), f32(d2c_min))
+        dis2 = jnp.where(inside, d2u_min, d2c_min)
         cull = (~inside) & (dis2 >= thr)
         dis, _ = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
@@ -197,10 +184,9 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             dd = tvc - tv
             u2 = wj * wj * row(pack.R_MM + k)
             c2 = u2 + dd * dd * row(pack.R_E2 + k)
-            # upcast before the mask-select (relayout note above)
-            tvs.append(jnp.where(inside, f32(tv), f32(tvc)))
-            dds.append(f32(dd))
-            d2sel.append(jnp.where(inside, f32(u2), f32(c2)))
+            tvs.append(jnp.where(inside, tv, tvc))
+            dds.append(dd)
+            d2sel.append(jnp.where(inside, u2, c2))
 
         sel0 = (d2sel[0] <= d2sel[1]) & (d2sel[0] <= d2sel[2])
         sel1 = (~sel0) & (d2sel[1] <= d2sel[2])
@@ -208,19 +194,18 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
 
         # distance vector of the SELECTED feature only: u = w_j m_k for the
         # unclamped foot, plus dd * e_k when the edge parameter clamps
-        # (k+2)%3 per edge id; q['w'] is already f32
+        # (k+2)%3 per edge id
         wj_sel = sel3(ksel, (q['w'][2], q['w'][0], q['w'][1]))
-        mx_sel = sel3(ksel, tuple(f32(row(pack.R_M + 2 * k))
-                                  for k in range(3)))
-        my_sel = sel3(ksel, tuple(f32(row(pack.R_M + 2 * k + 1))
+        mx_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k) for k in range(3)))
+        my_sel = sel3(ksel, tuple(row(pack.R_M + 2 * k + 1)
                                   for k in range(3)))
         dis_x = wj_sel * mx_sel
         dis_y = wj_sel * my_sel
         out_dd = jnp.where(inside, 0.0, sel3(ksel, dds))
         dis_x = dis_x + out_dd * sel3(
-            ksel, tuple(f32(row(pack.R_E + 2 * k)) for k in range(3)))
+            ksel, tuple(row(pack.R_E + 2 * k) for k in range(3)))
         dis_y = dis_y + out_dd * sel3(
-            ksel, tuple(f32(row(pack.R_E + 2 * k + 1)) for k in range(3)))
+            ksel, tuple(row(pack.R_E + 2 * k + 1) for k in range(3)))
         tv_sel = sel3(ksel, tvs)
 
         # dis magnitude via the same min-formula as the forward fast path so
@@ -237,7 +222,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         if rdis is not None:
             q['rdis'] = rdis
 
-    valid = (~q['cull']) & (frag > 1e-6) & (f32(row(pack.R_FVALID)) > 0)
+    valid = (~q['cull']) & (frag > 1e-6) & (row(pack.R_FVALID) > 0)
     frag = jnp.where(valid, frag, 0.0)
     q['frag'] = frag
     q['valid'] = valid
@@ -251,8 +236,8 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # the raw ones and sum to exactly 1, so zp = 1/denom.  The argmin
         # over zp becomes an argmax over denom and the [near, far] window
         # becomes denom in [1/far, 1/near] — no per-pair divide, no clips.
-        denom = f32(row(pack.R_DZ + 0) * xp + row(pack.R_DZ + 1) * yp
-                    + row(pack.R_DZ + 2))
+        denom = row(pack.R_DZ + 0) * xp + row(pack.R_DZ + 1) * yp \
+            + row(pack.R_DZ + 2)
         q['denom'] = denom
         q['zvalid'] = (denom >= 1.0 / par[P_FAR]) \
             & (denom <= 1.0 / par[P_NEAR])
@@ -261,14 +246,13 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             # barycentrics are already clipped and normalized
             q['wcn'] = (w0, w1, w2)
     else:
-        # clipped barycentrics, depth (cu:807-810); packed mode upcasts
-        # before the clips so the divides and [near, far] masks stay f32
-        wc0 = jnp.clip(f32(w0), 0.0, 1.0)
-        wc1 = jnp.clip(f32(w1), 0.0, 1.0)
-        wc2 = jnp.clip(f32(w2), 0.0, 1.0)
+        # clipped barycentrics, depth (cu:807-810)
+        wc0 = jnp.clip(w0, 0.0, 1.0)
+        wc1 = jnp.clip(w1, 0.0, 1.0)
+        wc2 = jnp.clip(w2, 0.0, 1.0)
         s = jnp.maximum(wc0 + wc1 + wc2, 1e-5)
-        denom = (wc0 * f32(row(pack.R_IZ + 0)) + wc1 * f32(row(pack.R_IZ + 1))
-                 + wc2 * f32(row(pack.R_IZ + 2)))
+        denom = (wc0 * row(pack.R_IZ + 0) + wc1 * row(pack.R_IZ + 1)
+                 + wc2 * row(pack.R_IZ + 2))
         zp = s / denom
         if need_wcn:
             q['wcn'] = (wc0 / s, wc1 / s, wc2 / s)
@@ -277,5 +261,5 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     if cfg.double_side:
         q['front_ok'] = jnp.ones_like(valid)
     else:
-        q['front_ok'] = f32(row(pack.R_FRONT)) > 0
+        q['front_ok'] = row(pack.R_FRONT) > 0
     return q

@@ -273,8 +273,6 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
     yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_ \
         - 2.0 * par[P_ROW0] / is_
-    if cfg.compute_dtype == 'bf16':
-        xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TP, FC), 1)
 
     tid = cfg.aggr_alpha_func
@@ -537,11 +535,6 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin,
                                 height=hb, row0=row0)
     tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
-    if cfg.compute_dtype == 'bf16':
-        # opt-in serving mode: per-pair algebra in bfloat16 (2x VPU packing,
-        # half the packed-constant DMA); the cull lists above are built from
-        # the f32 constants, CDF/aggregation/gradient chains stay f32
-        packed = packed.astype(jnp.bfloat16)
     # inverse permutation via scatter (an argsort here would re-sort every
     # backward step); iperm[b, perm[b, i]] = i
     Fp = perm.shape[1]
@@ -808,9 +801,7 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
         ],
         out_specs=pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t)),
         scratch_shapes=[
-            pltpu.VMEM((2, NI, FC),
-                       jnp.bfloat16 if cfg.compute_dtype == 'bf16'
-                       else jnp.float32),
+            pltpu.VMEM((2, NI, FC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -1036,8 +1027,6 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
         xp = (2.0 * pcol.astype(jnp.float32) + 1.0 - is_) / is_
         yp = (2.0 * (is_ - 1 - prow).astype(jnp.float32) + 1.0 - is_) / is_ \
             - 2.0 * par[P_ROW0] / is_
-        if cfg.compute_dtype == 'bf16':
-            xp, yp = xp.astype(jnp.bfloat16), yp.astype(jnp.bfloat16)
 
         # one lanes->sublanes transpose per tile load
         pix_t = jnp.transpose(buf_ref[slot, :, :], (1, 0))  # (TP, NPIXC)

@@ -86,7 +86,6 @@ def render(
     pixel_tile=128,
     channels='rgba',
     on_fallback='silent',
-    compute_dtype='f32',
 ):
     """Differentiable generalized rasterization.
 
@@ -102,7 +101,7 @@ def render(
         aggr_alpha_func=aggr_alpha_func, aggr_rgb_func=aggr_rgb_func,
         double_side=double_side, texture_type=texture_type, backend=backend,
         face_chunk=face_chunk, pixel_tile=pixel_tile, channels=channels,
-        on_fallback=on_fallback, compute_dtype=compute_dtype)
+        on_fallback=on_fallback)
 
     # dist_scale >= 0 and dist_eps >= 1 (functional/renderer.py:96, 101);
     # static python values are checked eagerly, traced values pass through.

@@ -49,7 +49,6 @@ class GenDR:
                  pixel_tile=128,
                  channels='rgba',
                  on_fallback='silent',
-                 compute_dtype='f32',
                  ):
         if aggr_rgb_func not in ['hard', 'softmax', 0, 1]:
             raise ValueError(
@@ -86,7 +85,6 @@ class GenDR:
         self.pixel_tile = pixel_tile
         self.channels = channels
         self.on_fallback = on_fallback
-        self.compute_dtype = compute_dtype
 
     def __call__(self, mesh):
         return self.forward_tensors(mesh.face_vertices, mesh.face_textures)
@@ -120,7 +118,6 @@ class GenDR:
             pixel_tile=self.pixel_tile,
             channels=self.channels,
             on_fallback=self.on_fallback,
-            compute_dtype=self.compute_dtype,
         )
         if self.anti_aliasing:
             images = _avg_pool2(images)

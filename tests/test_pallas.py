@@ -371,39 +371,6 @@ def test_pallas_max_tconorm_agreement_over_seeds():
     assert coss.min() > 0.98, coss
 
 
-def test_pallas_bf16_compute_mode():
-    """Opt-in compute_dtype='bf16': per-pair algebra runs packed bfloat16
-    (CDF/aggregation/gradients stay f32).  Images must track the f32 path
-    within bf16 quantization of the barycentric magnitudes, and gradients
-    must stay descent-aligned — looser than the parity budgets above by
-    design (this mode trades boundary precision for throughput)."""
-    from gendr_tpu.raster.render import render
-    rng = np.random.RandomState(5)
-    fv = jnp.asarray(random_scene(rng, B=1, F=9).reshape(1, 9, 9))
-    tex = jnp.asarray(rng.rand(1, 9, 1, 3).astype(np.float32))
-    kw = dict(image_size=16, dist_func='logistic', dist_scale=0.1,
-              aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
-              face_chunk=8, backend='pallas')
-
-    img32 = np.asarray(render(fv, tex, **kw))
-    img16 = np.asarray(render(fv, tex, compute_dtype='bf16', **kw))
-    assert img16.dtype == np.float32
-    # bf16 quantizes barycentrics to ~2^-8 relative -> coverage shifts
-    # concentrated at silhouette boundaries
-    assert np.abs(img16 - img32).mean() < 5e-3
-    assert np.abs(img16 - img32).max() < 0.25
-
-    def loss(v, cd):
-        img = render(v, tex, compute_dtype=cd, **kw)
-        return jnp.mean((img[:, 3] - 0.5) ** 2)
-
-    g32 = np.asarray(jax.grad(lambda v: loss(v, 'f32'))(fv)).ravel()
-    g16 = np.asarray(jax.grad(lambda v: loss(v, 'bf16'))(fv)).ravel()
-    assert np.isfinite(g16).all()
-    cos = g16 @ g32 / (np.linalg.norm(g16) * np.linalg.norm(g32) + 1e-12)
-    assert cos > 0.95, cos
-
-
 @pytest.mark.parametrize('rgb', ['hard', 'softmax'])
 def test_pallas_vertex_textures(rgb):
     rng = np.random.RandomState(2)

@@ -1,6 +1,6 @@
 """Compile-only check of the Pallas forward+backward at the bench config.
 
-Usage: python tools/compile_check.py [--compute-dtype bf16] [--bwd]
+Usage: python tools/compile_check.py [--fwd-only]
 
 Lowers + compiles (no execution beyond one tiny run) so Mosaic layout
 errors surface in ~20 s instead of a full bench run.
@@ -15,7 +15,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--compute-dtype', default='f32')
     ap.add_argument('--image-size', type=int, default=256)
     ap.add_argument('--level', type=int, default=3)
     ap.add_argument('--fwd-only', action='store_true')
@@ -36,8 +35,7 @@ def main():
     def loss(fv, tex):
         img = render(fv, tex, image_size=args.image_size,
                      backend='pallas', dist_func='logistic',
-                     dist_scale=1e-2, aggr_rgb_func='hard',
-                     compute_dtype=args.compute_dtype)
+                     dist_scale=1e-2, aggr_rgb_func='hard')
         return jnp.sum(img)
 
     fn = (jax.jit(loss) if args.fwd_only

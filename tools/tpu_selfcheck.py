@@ -237,40 +237,6 @@ def band_and_offset_checks():
     return failures
 
 
-def bf16_check():
-    """The opt-in bf16 compute mode must COMPILE and run on hardware (it
-    went a full round compiling only in interpret mode) and stay in the
-    documented ~2^-8-relative envelope of f32."""
-    fv, tex = scene(B=1, level=2)
-    kw = dict(image_size=64, dist_func='logistic',
-              aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
-              dist_scale=1e-2, backend='pallas')
-
-    def loss(v, t, dt):
-        img = render(v, t, compute_dtype=dt, **kw)
-        return jnp.sum(img[:, 3] ** 2) * 0.5 + jnp.sum(img[:, :3]) * 0.1
-
-    outs = {}
-    for dt in ('f32', 'bf16'):
-        img = jax.jit(lambda a, b: render(a, b, compute_dtype=dt, **kw))(
-            fv, tex)
-        g = jax.jit(jax.grad(lambda a, b: loss(a, b, dt),
-                             argnums=(0, 1)))(fv, tex)
-        outs[dt] = (np.asarray(img), np.asarray(g[0]))
-    # bf16 moves silhouette boundaries by O(0.1) px, which can flip the
-    # hard-RGB winner of individual boundary pixels (an O(1) per-pixel
-    # color change by construction) — so demand BULK agreement plus
-    # gradient direction, not a max-abs bound
-    img_agree = (np.abs(outs['f32'][0] - outs['bf16'][0]) < 0.02).mean()
-    gf, gb = outs['f32'][1].ravel(), outs['bf16'][1].ravel()
-    cos = float(gf @ gb / max(np.linalg.norm(gf) * np.linalg.norm(gb),
-                              1e-30))
-    ok = (np.isfinite(outs['bf16'][0]).all() and img_agree > 0.99
-          and cos > 0.9)
-    return _report('bf16 compile+run vs f32', ok,
-                   f'img_agree={img_agree:.4f} grad_cos={cos:.4f}')
-
-
 ALL_DISTS = ['hard', 'uniform', 'cubic_hermite', 'wigner_semicircle',
              'gaussian', 'laplace', 'logistic', 'gudermannian', 'cauchy',
              'reciprocal', 'gumbel_max', 'gumbel_min', 'exponential',
@@ -398,7 +364,6 @@ def main():
         failures += 0 if ok else 1
 
     failures += band_and_offset_checks()
-    failures += bf16_check()
 
     # Constant-folding regression (the remote-TPU compile service has been
     # observed to mis-execute folded cross-product chains): a look_at with
