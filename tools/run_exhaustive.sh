@@ -14,7 +14,17 @@
 #
 # Usage: bash tools/run_exhaustive.sh [logfile]
 set -u
-LOG="${1:-results/exhaustive_r03.log}"
+LOG="${1:-results/exhaustive_r04.log}"
+
+# The log is validation evidence for the commit it names: refuse to run on
+# a dirty tree, so the recorded hash is exactly the code that was tested.
+if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
+  echo "run_exhaustive.sh: working tree is dirty — commit or stash first;" >&2
+  echo "the log must certify one exact commit." >&2
+  git status --porcelain --untracked-files=no >&2
+  exit 2
+fi
+
 : > "$LOG"
 overall=0
 echo "# exhaustive tier, sharded — $(git rev-parse --short HEAD) — $(date -u +%FT%TZ)" >> "$LOG"
