@@ -136,7 +136,8 @@ def _band(sp_axis, n_sp, is_):
 def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
                    params: Dict, mesh: Mesh, dp_axis: Optional[str] = 'dp',
                    fp_axis: Optional[str] = 'fp',
-                   sp_axis: Optional[str] = None, backend=None):
+                   sp_axis: Optional[str] = None, backend=None,
+                   check_replication: bool = False):
     """Forward render with batch sharded over ``dp_axis``, faces over
     ``fp_axis``, and image rows over ``sp_axis``.  Returns soft_colors
     [B, 4, H, W] (sharded over dp x sp, replicated over fp).
@@ -144,6 +145,15 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
     face_vertices: [B, F, 9]; textures: [B, F, TS, 3].  ``backend`` picks
     the per-shard engine ('pallas' production kernels or 'xla' streaming
     scan); default cfg.backend.
+
+    ``check_replication``: the production out_specs drop the fp axis, which
+    requires ``check_vma=False`` (the vma checker cannot see that the
+    all_gather + deterministic fold makes every fp shard's merged carry
+    identical) — so a bug that made the carry genuinely device-varying
+    would silently return shard 0's value.  With ``check_replication=True``
+    the fp axis is exposed instead: returns [n_fp, B, 4, H, W] with one
+    (claimed-identical) copy per fp shard, for tests to assert bitwise
+    equality across axis 0.
     """
     from jax import shard_map
 
@@ -185,8 +195,12 @@ def render_sharded(face_vertices, textures, cfg: C.RenderConfig,
             part = jax.tree_util.tree_map(lambda x: x[i], gathered)
             merged = X.merge_carries(merged, part, cfg, params)
         soft_colors, _ = X.finalize(merged, cfg)
+        if check_replication:
+            return soft_colors[None]  # expose this shard's fp copy
         return soft_colors
 
+    if check_replication:
+        out_specs = P(fp_axis, dp_axis, None, sp_axis)
     fn = shard_map(local_render, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
     return fn(face_vertices, textures, fvalid, bg)

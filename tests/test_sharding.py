@@ -17,7 +17,8 @@ from tests.test_render import random_scene, params_dict
 # (~5-8x the cost of one jit compile+run of the same program).  cfg and
 # mesh are hashable -> static; axis-name kwargs are static by name.
 J_RS = jax.jit(S.render_sharded, static_argnums=(2, 4),
-               static_argnames=('dp_axis', 'fp_axis', 'sp_axis', 'backend'))
+               static_argnames=('dp_axis', 'fp_axis', 'sp_axis', 'backend',
+                                'check_replication'))
 
 
 def _jit_grad2(loss):
@@ -74,6 +75,31 @@ def test_sharded_forward_matches(mesh, mesh22, rgb, backend):
         background_color=np.array([0.2, 0.1, 0.4])))(fv, tex)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('rgb', [
+    'hard', pytest.param('softmax', marks=pytest.mark.exhaustive)])
+def test_fp_carry_merge_is_replicated(mesh, rgb):
+    # render_sharded's production out_specs drop the fp axis under
+    # check_vma=False, so a bug that made the merged carry device-varying
+    # would silently ship shard 0's pixels.  check_replication=True exposes
+    # one copy per fp shard; the all_gather + identical deterministic fold
+    # must make them BITWISE equal.
+    B, F = 4, 37
+    rng = np.random.RandomState(3)
+    fv = random_scene(rng, B=B, F=F).reshape(B, F, 9)
+    tex = rng.rand(B, F, 1, 3).astype(np.float32)
+    cfg = C.RenderConfig.create(image_size=16, dist_func='logistic',
+                                aggr_alpha_func='probabilistic',
+                                aggr_rgb_func=rgb, face_chunk=4,
+                                backend='xla')
+    params = params_dict(dist_scale=3e-2,
+                         background_color=np.array([0.2, 0.1, 0.4]))
+    copies = np.asarray(J_RS(fv, tex, cfg, params, mesh,
+                             check_replication=True))
+    assert copies.shape[0] == mesh.shape['fp']
+    for i in range(1, copies.shape[0]):
+        np.testing.assert_array_equal(copies[0], copies[i])
 
 
 @pytest.mark.parametrize('backend', [
