@@ -68,6 +68,16 @@ TEXEL_BLOCK = pack.TEXEL_BLOCK
 # (VMEM slab budget; texture_res 32 = 4x the reference's load_obj max)
 SOFTMAX_TS_CAP = 1024
 
+# The compacted hit lists are scalar-prefetched into SMEM (fast path), but
+# SMEM is ~1 MB and the table is B*T_tiles*K*4 bytes (e.g. 512^2 x 20480
+# faces: 2048*160*4 = 1.3 MB -> Mosaic "would exceed memory").  Above this
+# cap the ids move to HBM and each program DMAs its row into an SMEM
+# scratch instead (row capacity padded to IDS_ALIGN, the 1-D i32 HBM
+# tiling, so the dynamic slice stays tile-aligned).  Tests monkeypatch the
+# cap to 0 to force the HBM path on small scenes.
+IDS_SMEM_CAP_BYTES = 256 * 1024
+IDS_ALIGN = 1024
+
 
 def _tex_blocked(cfg: C.RenderConfig, TS):
     """True when surface texel rows use the blocked streaming layout (texel
@@ -239,9 +249,8 @@ def _lane_prod(x):
     return x[:, :1]
 
 
-def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
-                buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC, is_,
-                T_tiles, K, tile_w, tile_h, tx_n, TS):
+def _fwd_kernel(*refs, cfg: C.RenderConfig, TP, FC, is_,
+                T_tiles, K, tile_w, tile_h, tx_n, TS, ids_in_hbm=False):
     """One program per pixel tile; in-kernel loop over the tile's compacted
     hit-chunk list with double-buffered HBM->VMEM DMA (misses are never
     touched — the TPU-native replacement for the reference's per-thread
@@ -256,7 +265,18 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     — and a single epilogue reduction after the loop produces the pixel
     values.  The hard-RGB z-argmin (cu:815-822) carries per-lane
     (best-denom, chunk-id, rgb) and resolves the cross-lane winner (with
-    the reference's first-face tie-break) once at the end."""
+    the reference's first-face tie-break) once at the end.
+
+    ``ids_in_hbm``: hit-list placement (see IDS_SMEM_CAP_BYTES) — False:
+    ids are scalar-prefetched (ids_ref in SMEM); True: ids live in HBM
+    (row capacity K padded to IDS_ALIGN) and this program DMAs its row
+    into the ids_smem scratch before the chunk loop."""
+    if ids_in_hbm:
+        (count_ref, par_ref, ids_hbm, packed_hbm, out_ref,
+         buf_ref, sem_ref, ids_smem, ids_sem) = refs
+    else:
+        (count_ref, ids_ref, par_ref, packed_hbm, out_ref,
+         buf_ref, sem_ref) = refs
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -282,8 +302,12 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
     softmax_rgb = cfg.channels != 'alpha' \
         and cfg.aggr_rgb_func == C.RGB_SOFTMAX
 
-    def chunk_id(j):
-        return ids_ref[(b * T_tiles + t) * K + j]
+    if ids_in_hbm:
+        def chunk_id(j):
+            return ids_smem[j]
+    else:
+        def chunk_id(j):
+            return ids_ref[(b * T_tiles + t) * K + j]
 
     def start_dma(slot, j):
         cid = chunk_id(j)
@@ -317,6 +341,14 @@ def _fwd_kernel(count_ref, ids_ref, par_ref, packed_hbm, out_ref,
             axis=0)
 
     def _fwd_tile_body():
+        if ids_in_hbm:
+            # fetch this tile's id row first (chunk_id(0) feeds the packed
+            # DMA's address); ~K*4 bytes, negligible vs the chunk loop
+            idcp = pltpu.make_async_copy(
+                ids_hbm.at[pl.ds((b * T_tiles + t) * K, K)], ids_smem,
+                ids_sem)
+            idcp.start()
+            idcp.wait()
         start_dma(0, 0)
 
         # ---- loop carry: per-lane sufficient statistics ----
@@ -790,27 +822,49 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
     par = _params_vec(params, row0)
     NO_F = _fwd_out_cols(cfg, TS)
 
+    ids_in_hbm = B * T_tiles * K * 4 > IDS_SMEM_CAP_BYTES
+    Kc = -(-K // IDS_ALIGN) * IDS_ALIGN if ids_in_hbm else K
     kernel = functools.partial(_fwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
-                               T_tiles=T_tiles, K=K, tile_w=tile_w,
-                               tile_h=tile_h, tx_n=tx_n, TS=TS)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, T_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
-        ],
-        out_specs=pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t)),
-        scratch_shapes=[
-            pltpu.VMEM((2, NI, FC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+                               T_tiles=T_tiles, K=Kc, tile_w=tile_w,
+                               tile_h=tile_h, tx_n=tx_n, TS=TS,
+                               ids_in_hbm=ids_in_hbm)
+    out_spec = pl.BlockSpec((1, NO_F, TP), lambda b, t, *_: (b, 0, t))
+    scratch = [
+        pltpu.VMEM((2, NI, FC), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if ids_in_hbm:
+        ids_flat = jnp.pad(tile_ids, ((0, 0), (0, 0), (0, Kc - K))
+                           ).reshape(-1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, T_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # hit-list ids in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch + [pltpu.SMEM((Kc,), jnp.int32),
+                                      pltpu.SemaphoreType.DMA],
+        )
+        args = (tile_counts.reshape(-1), par, ids_flat, packed)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, T_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        args = (tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, NO_F, P), jnp.float32),
         interpret=_interpret(),
-    )(tile_counts.reshape(-1), tile_ids.reshape(-1), par, packed)
+    )(*args)
     # tiled pixel order -> row-major image order (reshapes, no gather)
     return pack.untile_soa(out, is_, tile_w, tile_h, hb), aux
 
@@ -962,13 +1016,24 @@ def _bwd_col_layout(cfg, TS=1):
     return no_b, has_z, has_tex, tex0
 
 
-def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
-                acc_ref, buf_ref, sem_ref, *, cfg: C.RenderConfig, TP, FC,
-                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS, CM):
+def _bwd_kernel(*refs, cfg: C.RenderConfig, TP, FC,
+                is_, T_tiles, K, NO_B, tile_w, tile_h, tx_n, TS, CM,
+                ids_in_hbm=False):
     """One program per face chunk; in-kernel loop over the chunk's compacted
     hit-tile list, double-buffering the pixel-space columns HBM->VMEM.
     Gradients accumulate in VMEM — deterministic, no atomics
-    (cu:1054-1063's atomicAdd is the non-deterministic part we replace)."""
+    (cu:1054-1063's atomicAdd is the non-deterministic part we replace).
+
+    ``ids_in_hbm``: hit-list placement (see IDS_SMEM_CAP_BYTES) — False:
+    tile ids are scalar-prefetched; True: they live in HBM (row capacity
+    T_tiles padded to IDS_ALIGN) and each program DMAs its row into the
+    ids_smem scratch first."""
+    if ids_in_hbm:
+        (count_ref, par_ref, packed_ref, pix_hbm, ids_hbm, out_ref,
+         acc_ref, buf_ref, sem_ref, ids_smem, ids_sem) = refs
+    else:
+        (count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
+         acc_ref, buf_ref, sem_ref) = refs
     b = pl.program_id(0)
     k = pl.program_id(1)
     cm = dict(CM)  # static column map of the compacted pixel slab
@@ -985,8 +1050,12 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
     lr = lidx // tile_w
     lc = lidx - lr * tile_w
 
-    def tile_id(j):
-        return ids_ref[(b * K + k) * T_tiles + j]
+    if ids_in_hbm:
+        def tile_id(j):
+            return ids_smem[j]
+    else:
+        def tile_id(j):
+            return ids_ref[(b * K + k) * T_tiles + j]
 
     def start_dma(slot, j):
         tid = tile_id(j)
@@ -1003,6 +1072,12 @@ def _bwd_kernel(count_ref, ids_ref, par_ref, packed_ref, pix_hbm, out_ref,
 
     @pl.when(n > 0)
     def _prefetch():
+        if ids_in_hbm:
+            idcp = pltpu.make_async_copy(
+                ids_hbm.at[pl.ds((b * K + k) * T_tiles, T_tiles)],
+                ids_smem, ids_sem)
+            idcp.start()
+            idcp.wait()
         start_dma(0, 0)
 
     def row(i):
@@ -1263,32 +1338,51 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     pix_cols = jnp.pad(pix_cols, ((0, 0), (0, NPIXC - n_cols), (0, 0)))
 
     NO_B, has_z, has_tex, tex0 = _bwd_col_layout(cfg, TS)
+    ids_in_hbm = B * K * T_tiles * 4 > IDS_SMEM_CAP_BYTES
+    Tc = -(-T_tiles // IDS_ALIGN) * IDS_ALIGN if ids_in_hbm else T_tiles
     kernel = functools.partial(_bwd_kernel, cfg=cfg, TP=TP, FC=FC, is_=is_,
-                               T_tiles=T_tiles, K=K, NO_B=NO_B,
+                               T_tiles=Tc, K=K, NO_B=NO_B,
                                tile_w=tile_w, tile_h=tile_h, tx_n=tx_n,
-                               TS=TS, CM=tuple(sorted(cm.items())))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, K),
-        in_specs=[
-            pl.BlockSpec((1, NI, FC), lambda b, k, *_: (b, 0, k)),
-            pl.BlockSpec(memory_space=pl.ANY),  # pix cols stay in HBM
-        ],
-        out_specs=pl.BlockSpec((1, 1, NO_B, FC),
-                               lambda b, k, *_: (b, k, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((NO_B, FC), jnp.float32),
-            pltpu.VMEM((2, NPIXC, TP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+                               TS=TS, CM=tuple(sorted(cm.items())),
+                               ids_in_hbm=ids_in_hbm)
+    in_specs = [
+        pl.BlockSpec((1, NI, FC), lambda b, k, *_: (b, 0, k)),
+        pl.BlockSpec(memory_space=pl.ANY),  # pix cols stay in HBM
+    ]
+    out_spec = pl.BlockSpec((1, 1, NO_B, FC), lambda b, k, *_: (b, k, 0, 0))
+    scratch = [
+        pltpu.VMEM((NO_B, FC), jnp.float32),
+        pltpu.VMEM((2, NPIXC, TP), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if ids_in_hbm:
+        ids_flat = jnp.pad(chunk_ids, ((0, 0), (0, 0), (0, Tc - T_tiles))
+                           ).reshape(-1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, K),
+            in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch + [pltpu.SMEM((Tc,), jnp.int32),
+                                      pltpu.SemaphoreType.DMA],
+        )
+        args = (chunk_counts.reshape(-1), par, packed, pix_cols, ids_flat)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, K),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        args = (chunk_counts.reshape(-1), chunk_ids.reshape(-1), par,
+                packed, pix_cols)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, K, NO_B, FC), jnp.float32),
         interpret=_interpret(),
-    )(chunk_counts.reshape(-1), chunk_ids.reshape(-1), par, packed,
-      pix_cols)
+    )(*args)
 
     # one XLA relayout for the whole tensor (the kernel keeps grads
     # lane-major; transposing per tile iteration inside the loop costs more)

@@ -653,3 +653,35 @@ def test_alpha_only_channels(backend):
     # grads identical up to fusion-order rounding (z column is zero in
     # both: hard RGB contributes no z grads)
     np.testing.assert_allclose(g_al, g_full, atol=1e-5, rtol=1e-4)
+
+
+def test_hbm_hitlist_path_matches_prefetch(monkeypatch):
+    """Large B*tiles*chunks hit-list tables move from SMEM scalar prefetch
+    to HBM + per-program DMA (IDS_SMEM_CAP_BYTES; the 512^2 x 20480-face
+    SMEM overflow).  Forcing the HBM path on a small scene must reproduce
+    the prefetch path bitwise: same ids, same fold order, only the id
+    transport differs.  Fresh jit wrappers (not the module singletons):
+    the placement is chosen at trace time from the monkeypatched constant,
+    which is not part of the jit cache key."""
+    rng = np.random.RandomState(9)
+    fv = jnp.asarray(random_scene(rng, B=2, F=13).reshape(2, 13, 9))
+    tex = jnp.asarray(rng.rand(2, 13, 1, 3).astype(np.float32))
+    cfg = _cfg(CONFIGS[1])  # logistic x probabilistic x softmax
+    params = params_dict(dist_scale=3e-2,
+                         background_color=np.array([0.1, 0.2, 0.3]))
+    finfo = prep.faces_info(fv)
+    g = jnp.asarray(rng.randn(2, 4, 16, 16).astype(np.float32))
+
+    def run():
+        f = jax.jit(PB.forward, static_argnums=3)
+        b = jax.jit(PB.backward, static_argnums=6)
+        soft, aggrs = f(fv, tex, finfo, cfg, params)
+        gf, gt = b(fv, tex, finfo, soft, aggrs, g, cfg, params)
+        return map(np.asarray, (soft, gf, gt))
+
+    want = run()
+    assert PB.IDS_SMEM_CAP_BYTES > 0  # sanity: default mode is prefetch
+    monkeypatch.setattr(PB, 'IDS_SMEM_CAP_BYTES', 0)
+    got = run()
+    for w, o in zip(want, got):
+        np.testing.assert_array_equal(w, o)
