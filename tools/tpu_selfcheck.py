@@ -365,6 +365,53 @@ def main():
 
     failures += band_and_offset_checks()
 
+    # HBM hit-list path pin: at 512^2 x 20480 faces the per-(tile, chunk)
+    # hit table exceeds IDS_SMEM_CAP_BYTES, so both kernels must route ids
+    # via HBM + per-program SMEM DMA (the SMEM-prefetch table would not
+    # even compile); forward and gradients must still match the XLA
+    # backend.  This is the one selfcheck config big enough to take that
+    # branch on hardware.
+    vb5, fb5 = data.icosphere(5)
+    verts5 = jnp.asarray(vb5)[None] * 0.8
+    eyes5 = T.get_points_from_angles(jnp.full((1,), 2.732),
+                                     jnp.full((1,), 20.0),
+                                     jnp.full((1,), 30.0))
+    verts5 = T.perspective(T.look_at(verts5, eyes5), 30.0)
+    fv5 = core.face_vertices(verts5, jnp.asarray(fb5)[None]).reshape(1, -1, 9)
+    tex5 = jnp.asarray(np.random.RandomState(11).rand(
+        1, fv5.shape[1], 1, 3), jnp.float32)
+    kw5 = dict(image_size=512, dist_func='logistic',
+               aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+               dist_scale=3e-3)
+
+    def loss5(v, t, backend):
+        img = render(v, t, backend=backend, **kw5)
+        return jnp.sum(img[:, 3] ** 2) * 0.5 + jnp.sum(img[:, :3]) * 0.1
+
+    def run5(backend, tries=3):
+        for a in range(tries):
+            try:
+                img = jax.jit(lambda a_, b_: render(
+                    a_, b_, backend=backend, **kw5))(fv5, tex5)
+                g = jax.jit(jax.grad(
+                    lambda a_, b_: loss5(a_, b_, backend),
+                    argnums=0))(fv5, tex5)
+                return np.asarray(img), np.asarray(g)
+            except Exception as e:
+                if a == tries - 1:
+                    raise
+                print(f'  retry {backend} after {type(e).__name__}',
+                      flush=True)
+
+    ix5, gx5 = run5('xla')
+    ip5, gp5 = run5('pallas')
+    img_err5 = np.abs(ix5 - ip5).max()
+    gclose5 = np.isclose(gx5, gp5, atol=5e-4, rtol=5e-3).mean()
+    ok5 = bool(img_err5 < 2e-3 and gclose5 > 0.99)
+    print(f'[{"OK  " if ok5 else "FAIL"}] HBM hit-list 512^2 x 20480f: '
+          f'img_err={img_err5:.2e} grad_agree={gclose5:.4f}', flush=True)
+    failures += 0 if ok5 else 1
+
     # Constant-folding regression (the remote-TPU compile service has been
     # observed to mis-execute folded cross-product chains): a look_at with
     # closure-captured eyes must equal the same call with eyes as a jit arg.
