@@ -32,11 +32,26 @@ from gendr_tpu.raster import pack
 # the pixel-sharded path renders one band per device, NDC coords staying
 # global)
 (P_SCALE, P_SHAPE, P_SHIFT, P_THR, P_TCP, P_EPS, P_GAMMA, P_NEAR, P_FAR,
- P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0) = range(15)
-NPAR = 15
+ P_GINV1, P_GINV, P_BG0, P_BG1, P_BG2, P_ROW0, P_MARGIN) = range(16)
+NPAR = 16
 
 
-def _params_vec(params: Dict, row0=0):
+def _params_vec(params: Dict, row0=0, cfg=None):
+    # P_MARGIN: per-pair bbox-gate radius.  Pixels farther than this from a
+    # face's (well-conditioned, vertex-derived) bbox have true coverage
+    # <= PROBABILITY_THRESHOLD, so the reference drops them (cu:784); the
+    # gate drops them WITHOUT evaluating the barycentric algebra, whose
+    # fp32 blow-up on near-degenerate sliver faces otherwise reports
+    # phantom "inside" (coverage up to ~1) along thin bands far from the
+    # mesh (diagnosed at 512^2 x 20480 faces).  With cfg the radius is the
+    # per-distribution probability radius (pack.cull_margin — the same
+    # value the tile x chunk cull uses); without it, the reference's own
+    # looser bbox-exit bound sqrt(dist_eps * tau) (cu:747).
+    if cfg is not None:
+        margin = pack.cull_margin(cfg, params)
+    else:
+        margin = jnp.sqrt(jnp.asarray(
+            params['dist_eps'] * params['dist_scale'], jnp.float32))
     bg = jnp.asarray(params['background_color'], jnp.float32).reshape(3)
     return jnp.stack([
         jnp.asarray(params['dist_scale'], jnp.float32),
@@ -55,6 +70,7 @@ def _params_vec(params: Dict, row0=0):
             jnp.asarray(params['dist_shape'], jnp.float32), 1e-6))),
         bg[0], bg[1], bg[2],
         jnp.asarray(row0, jnp.float32),
+        jnp.asarray(margin, jnp.float32),
     ])
 
 
@@ -117,13 +133,28 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
     w2 = row(pack.R_INV + 6) * xp + row(pack.R_INV + 7) * yp \
         + row(pack.R_INV + 8)
 
+    # bbox gate (P_MARGIN): the inverse-matrix rows above blow up in fp32
+    # for near-degenerate sliver faces, reporting phantom "inside" (and
+    # phantom-small clamped distances) along thin bands arbitrarily far
+    # from the face.  The bbox is computed directly from the projected
+    # vertices (exact min/max), so gating candidacy on it bounds every
+    # contribution to the pixels the reference actually keeps: outside
+    # bbox + margin the true coverage is <= PROBABILITY_THRESHOLD
+    # (cu:784's drop).  For pairs inside the gate every value below is
+    # bitwise-unchanged.
+    mbb = par[P_MARGIN]
+    bb = (xp >= row(pack.R_BBOX + 0) - mbb) \
+        & (xp <= row(pack.R_BBOX + 1) + mbb) \
+        & (yp >= row(pack.R_BBOX + 2) - mbb) \
+        & (yp <= row(pack.R_BBOX + 3) + mbb)
+
     # the three barycentric rows sum to 1 by construction (pack.py emits
     # them from one inverse matrix), so all w_i > 0 already implies every
     # w_i < 1: the upper test is redundant and the wmax chain is dead —
     # ~6 fewer VPU ops on every (pixel, face) pair in both kernels
     wmin = jnp.minimum(jnp.minimum(w0, w1), w2)
-    inside = wmin > 0
-    in_loose = wmin >= 0
+    inside = (wmin > 0) & bb
+    in_loose = (wmin >= 0) & bb
 
     q = dict(w=(w0, w1, w2), inside=inside, in_loose=in_loose)
 
@@ -132,7 +163,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         zero = jnp.zeros(w0.shape, jnp.float32)
         q.update(sign=jnp.where(inside, 1.0, -1.0), dis=zero, dis_x=zero,
                  dis_y=zero, tv=zero, ksel=jnp.zeros_like(w0, jnp.int32),
-                 cull=jnp.zeros_like(inside), rdis=zero)
+                 cull=~bb, rdis=zero)
     elif fwd_only:
         # Forward pass needs only dis^2: the region decision tree
         # (cu:127-139) exists to FIND the minimizing clamped edge, so a
@@ -155,7 +186,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
             d2u_min = d2u if d2u_min is None else jnp.minimum(d2u_min, d2u)
             d2c_min = d2c if d2c_min is None else jnp.minimum(d2c_min, d2c)
         dis2 = jnp.where(inside, d2u_min, d2c_min)
-        cull = (~inside) & (dis2 >= thr)
+        cull = ((~inside) & (dis2 >= thr)) | ~bb
         dis, _ = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],
@@ -212,7 +243,7 @@ def _pair_math(row, xp, yp, par, cfg: C.RenderConfig, need_wcn=True,
         # recomputed coverages match the forward bitwise (the max t-conorm
         # backward detects its winner by exact equality, cu:574-575)
         dis2 = jnp.minimum(jnp.minimum(d2sel[0], d2sel[1]), d2sel[2])
-        cull = (~inside) & (dis2 >= thr)
+        cull = ((~inside) & (dis2 >= thr)) | ~bb
         dis, rdis = _dis_from_dis2(dis2, cfg)
         sign = jnp.where(inside, 1.0, -1.0)
         frag = D.cdf(cfg.dist_func, sign, dis, par[P_SCALE], par[P_SHAPE],

@@ -819,7 +819,7 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
     Fp = packed.shape[2]
     NI = packed.shape[1]
     K = Fp // FC
-    par = _params_vec(params, row0)
+    par = _params_vec(params, row0, cfg)
     NO_F = _fwd_out_cols(cfg, TS)
 
     ids_in_hbm = B * T_tiles * K * 4 > IDS_SMEM_CAP_BYTES
@@ -1307,7 +1307,7 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     NI = packed.shape[1]
     K = Fp // FC
     iperm = aux['iperm']  # orig face id -> sorted position
-    par = _params_vec(params, row0)
+    par = _params_vec(params, row0, cfg)
 
     # pixel-space tensor: only the columns this config's kernel reads (see
     # _bwd_pix_layout), kept channel-major end to end — the image tensors

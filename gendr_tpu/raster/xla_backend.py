@@ -246,7 +246,7 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
     cf = min(cfg.face_chunk, max(Fp, 1))
     nc = Fp // cf
     gamma = params['aggr_rgb_gamma']
-    par = PM._params_vec(params)
+    par = PM._params_vec(params, cfg=cfg)
     packed = pack.pack_faces(face_vertices, textures, fvalid, cfg,
                              with_tex=False)
 
@@ -384,7 +384,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
     del finfo  # superseded by the packed-constant pair math
     face_vertices_p, textures_p, _, fvalid, nc, Fp = _pad_faces(
         face_vertices, textures, None, cf)
-    par = PM._params_vec(params)
+    par = PM._params_vec(params, cfg=cfg)
     packed = pack.pack_faces(face_vertices_p, textures_p, fvalid, cfg,
                              with_tex=False)
 

@@ -685,3 +685,48 @@ def test_hbm_hitlist_path_matches_prefetch(monkeypatch):
     got = run()
     for w, o in zip(want, got):
         np.testing.assert_array_equal(w, o)
+
+
+def test_bbox_gate_kills_phantom_sliver_coverage():
+    """Near-degenerate sliver faces blow up the fp32 barycentric inverse:
+    far pixels can read all-positive w ("inside") and contribute phantom
+    coverage up to ~1 (diagnosed at 512^2 x 20480 faces: thin bands of
+    phantom alpha 1e-4..0.3 crossing the image).  The per-pair bbox gate
+    (pairmath P_MARGIN) must zero every pair whose pixel lies outside the
+    vertex-derived bbox + probability-radius margin — independent of how
+    badly the barycentric algebra misbehaves."""
+    from gendr_tpu.raster import pack
+    from gendr_tpu.raster import pairmath as PM
+
+    # a sliver: two vertices 1e-7 apart, third collinear to fp32 noise
+    fvert = np.array([[0.10, 0.10, 2.0,
+                       0.10 + 1e-7, 0.10 + 1e-7, 2.0,
+                       0.30, 0.30 + 1e-7, 2.0]], np.float32)[None]
+    tex = np.ones((1, 1, 1, 3), np.float32)
+    cfg = C.RenderConfig.create(image_size=64, dist_func='logistic',
+                                aggr_alpha_func='probabilistic',
+                                aggr_rgb_func='hard', backend='xla')
+    params = params_dict(dist_scale=3e-3)
+    packed = pack.pack_faces(jnp.asarray(fvert), jnp.asarray(tex),
+                             jnp.ones((1,), bool), cfg)
+    par = PM._params_vec(params, cfg=cfg)
+
+    def row(i):
+        return packed[0, i, :].reshape(1, 1)
+
+    # probe pixels far outside the bbox+margin in every direction
+    margin = float(np.asarray(pack.cull_margin(cfg, params)))
+    for (px, py) in [(-0.9, -0.9), (0.9, 0.9), (0.9, -0.9), (-0.9, 0.9),
+                     (0.2, 0.9), (0.9, 0.2)]:
+        assert not (0.10 - margin <= px <= 0.30 + margin
+                    and 0.10 - margin <= py <= 0.30 + margin)
+        q = PM._pair_math(row, jnp.float32(px), jnp.float32(py),
+                          [jnp.float32(x) for x in np.asarray(par)], cfg)
+        assert float(np.asarray(q['frag'])) == 0.0, (px, py)
+        assert not bool(np.asarray(q['valid'])), (px, py)
+        assert bool(np.asarray(q['cull'])), (px, py)
+        assert not bool(np.asarray(q['in_loose'])), (px, py)
+    # and a pixel INSIDE the gate keeps nonzero coverage near the sliver
+    q = PM._pair_math(row, jnp.float32(0.2), jnp.float32(0.2 + 1e-3),
+                      [jnp.float32(x) for x in np.asarray(par)], cfg)
+    assert float(np.asarray(q['frag'])) > 1e-6
