@@ -25,6 +25,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+# Persistent compilation cache: --matrix compiles 360 programs through the
+# tunnel; caching makes a re-run at the same commit (e.g. the end-of-round
+# evidence run after a trial run) near-free.  Harmless no-op if the backend
+# rejects it.  Override the location with GENDR_TPU_COMPILE_CACHE=; set it
+# empty to disable.
+_cache_dir = os.environ.get('GENDR_TPU_COMPILE_CACHE',
+                            '/tmp/gendr_tpu_jax_cache')
+if _cache_dir:
+    try:
+        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 from gendr_tpu import data
@@ -282,13 +297,18 @@ def matrix_check():
                     + jnp.sum(img[:, :3]) * 0.1
 
             def run(backend, tries=3):
+                # one fused jit per backend (img + grad) — halves the
+                # compile count of the 180-config sweep vs two programs
+                @jax.jit
+                def both(a_, b_):
+                    img = render(a_, b_, backend=backend, **kw)
+                    g = jax.grad(lambda x_, y_: loss(x_, y_, backend),
+                                 argnums=0)(a_, b_)
+                    return img, g
+
                 for a in range(tries):
                     try:
-                        img = jax.jit(lambda a_, b_: render(
-                            a_, b_, backend=backend, **kw))(fv, tex)
-                        g = jax.jit(jax.grad(
-                            lambda a_, b_: loss(a_, b_, backend),
-                            argnums=0))(fv, tex)
+                        img, g = both(fv, tex)
                         return np.asarray(img), np.asarray(g)
                     except Exception as e:
                         if a == tries - 1:
