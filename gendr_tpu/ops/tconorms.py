@@ -8,7 +8,10 @@ per-face partial products are ever stored.  This matters: naive autodiff
 through a sequential fold would yield prefix-product gradients instead.
 
 Formulas mirror the reference CUDA implementation exactly, including every
-``max(..., 1e-6)`` guard:
+``max(..., 1e-6)`` guard (one deliberate reformulation: frank's
+``p**(1-a) - 1`` terms are computed as ``_expm1((1-a) * log(p))`` — the
+same function, without the powf cancellation at the a -> 1 saturation
+edge; see ``_expm1``):
 
 * forward:  ``gendr/cuda/generalized_renderer_cuda_kernel.cu:473-563``
 * backward: ``gendr/cuda/generalized_renderer_cuda_kernel.cu:566-614``
@@ -27,6 +30,29 @@ from gendr_tpu import config as C
 
 def _p(v):
     return jnp.asarray(v, jnp.float32)
+
+
+def _expm1(x):
+    """Mosaic-safe expm1 (jnp.expm1 has no Mosaic lowering).
+
+    frank needs ``p**(1-a) - 1`` with ``a`` exactly/nearly saturated at 1
+    (compact-support CDFs saturate exactly), where the naive
+    ``jnp.power(p, 1-a) - 1.0`` cancels catastrophically: the ~1-ulp
+    rounding of pow near 1 becomes O(1) *relative* error of the difference,
+    and — worse for the twin-backend design — XLA:TPU and Mosaic round pow
+    differently, so the two backends disagree by that amplified amount
+    (measured: img_err ~1e-3, grad agreement ~0.978 on the chip for
+    frank x compact-support dists, vs ~1e-7 for other t-conorms).
+
+    |x| < 0.34: 7-term Taylor in Horner form (f32 relative error < 1e-7);
+    else exp(x) - 1, where the subtraction loses < ~2 ulp.  Both branches
+    are well-conditioned, so backend disagreement stays at the ~1e-7
+    relative level of their exp implementations.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    taylor = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0
+             + x * (1.0 / 120.0 + x * (1.0 / 720.0 + x * (1.0 / 5040.0)))))))
+    return jnp.where(jnp.abs(x) < 0.34, taylor, jnp.exp(x) - 1.0)
 
 
 def fold_step(t_conorm_id: int, a, b, p=0.0):
@@ -50,10 +76,14 @@ def fold_step(t_conorm_id: int, a, b, p=0.0):
         return 1.0 - c
 
     if t_conorm_id == C.FRANK_TCN:  # p > 0, p != 1
+        # cu:506-511 computes (p^(1-a)-1)(p^(1-b)-1)/(p-1) with powf;
+        # mathematically identical, this uses expm1((1-a) ln p) instead —
+        # see _expm1 for why (saturation-edge conditioning + backend parity)
         p = _p(p)
-        an, bn = 1.0 - a, 1.0 - b
-        c = jnp.log1p((jnp.power(p, an) - 1.0) * (jnp.power(p, bn) - 1.0)
-                      / (p - 1.0)) / jnp.log(p)
+        lnp = jnp.log(p)
+        ea = _expm1((1.0 - a) * lnp)
+        eb = _expm1((1.0 - b) * lnp)
+        c = jnp.log1p(ea * eb / (p - 1.0)) / lnp
         return 1.0 - c
 
     if t_conorm_id == C.YAGER_TCN:  # p > 0
@@ -115,10 +145,12 @@ def aggregate_backward(t_conorm_id: int, a_all, b, p=0.0):
         return num / jnp.maximum(den, 1e-6)
 
     if t_conorm_id == C.FRANK_TCN:
+        # cu:586-589's powf differences, via _expm1 (same guard scale)
         p = _p(p)
-        d = jnp.power(p, 1.0 - b) - 1.0
+        lnp = jnp.log(p)
+        d = _expm1((1.0 - b) * lnp)
         d_guard = d + jnp.where(d >= 0, 1e-6, -1e-6)  # copysign(1e-6, d)
-        return jnp.power(p, a_all - b) * (jnp.power(p, 1.0 - a_all) - 1.0) \
+        return jnp.exp((a_all - b) * lnp) * _expm1((1.0 - a_all) * lnp) \
             / d_guard
 
     if t_conorm_id == C.YAGER_TCN:

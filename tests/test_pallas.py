@@ -130,7 +130,8 @@ DIST_PARAMS = {
     'gumbel_max': dict(dist_shift=0.05),
 }
 
-MATRIX_TCNS = [('probabilistic', 0.0), ('yager', 2.0), ('hamacher', 0.5)]
+MATRIX_TCNS = [('probabilistic', 0.0), ('yager', 2.0), ('hamacher', 0.5),
+               ('frank', 2.0)]
 
 # Default-tier matrix subset: one representative per distribution FAMILY of
 # the kernel's CDF dispatch (compact support, erf-based, heavy tail, Kummer

@@ -51,6 +51,7 @@ for f in tests/test_*.py; do
     run_shard "$f [tcn matrix: hamacher]" "$f" \
       -k "dist_tcn_matrix and hamacher"
     run_shard "$f [tcn matrix: yager]" "$f" -k "dist_tcn_matrix and yager"
+    run_shard "$f [tcn matrix: frank]" "$f" -k "dist_tcn_matrix and frank"
   else
     run_shard "$f" "$f"
   fi
