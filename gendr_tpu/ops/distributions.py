@@ -71,10 +71,16 @@ def arctan(x):
 
 
 def arcsin(x):
-    """arcsin via arctan(x / sqrt(1 - x^2)) (clamped input)."""
+    """arcsin via arctan(x * rsqrt(1 - x^2)) (clamped input).
+
+    The rsqrt-multiply is deliberate: written as ``x / sqrt(...)``, XLA:TPU
+    rewrites the divide-by-sqrt while Mosaic compiles it literally, and the
+    two round differently (measured 5-ulp skew, tools/ulp_smem.py).  An
+    explicit rsqrt lowers to the same op under both compilers, keeping
+    wigner_semicircle's frag bitwise across backends."""
+    import jax.lax as lax
     x = jnp.clip(x, -1.0, 1.0)
-    den = jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
-    out = arctan(x / den)
+    out = arctan(x * lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-12)))
     return jnp.where(jnp.abs(x) >= 1.0, jnp.sign(x) * (_PI / 2), out)
 
 
@@ -107,8 +113,14 @@ def cdf(dist_func: int, sign, x, scale, shape=0.0, shift=0.0,
         return arctan(u) / _PI + 0.5
 
     if dist_func == C.RECIPROCAL:
-        # cu:261 — note denominator uses x (non-negative), not sign*x
-        return u / (1.0 + x / scale) / 2.0 + 0.5
+        # cu:261 computes u/(1 + x/scale)/2 + 0.5 (denominator uses x, the
+        # non-negative magnitude, not sign*x).  Algebraically identical with
+        # ONE divide: 0.5*sign*x/(scale + x) + 0.5.  The multi-divide chain
+        # is compiled differently by Mosaic vs XLA (measured 12-ulp skew on
+        # the chip, tools/ulp_smem.py) which flips max-t-conorm
+        # exact-equality winners; the single-divide form is bitwise across
+        # both compilers.
+        return 0.5 * sign * x / (scale + x) + 0.5
 
     if dist_func == C.LAPLACE:
         e = 0.5 * _safe_exp(-x / scale)

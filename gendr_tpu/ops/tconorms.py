@@ -44,7 +44,8 @@ def _expm1(x):
     (measured: img_err ~1e-3, grad agreement ~0.978 on the chip for
     frank x compact-support dists, vs ~1e-7 for other t-conorms).
 
-    |x| < 0.34: 7-term Taylor in Horner form (f32 relative error < 1e-7);
+    |x| < 0.34: 7-term Taylor in Horner form (f32 relative error a few
+    1e-7, measured <= ~3.3e-7 at the branch edge);
     else exp(x) - 1, where the subtraction loses < ~2 ulp.  Both branches
     are well-conditioned, so backend disagreement stays at the ~1e-7
     relative level of their exp implementations.
@@ -53,6 +54,22 @@ def _expm1(x):
     taylor = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0
              + x * (1.0 / 120.0 + x * (1.0 / 720.0 + x * (1.0 / 5040.0)))))))
     return jnp.where(jnp.abs(x) < 0.34, taylor, jnp.exp(x) - 1.0)
+
+
+def _zero_identity(a, b, res):
+    """Exact neutral-element fold: a ⊥ 0 = a and 0 ⊥ b = b, bitwise.
+
+    0 is the neutral element of every t-conorm, but the parametric
+    families' arithmetic only reproduces it up to rounding (e.g. frank's
+    log1p(expm1(t)) round trip, yager's pow round trip).  Exactness
+    matters for backend parity: the Pallas kernels SKIP culled face chunks
+    via per-tile hit lists while the XLA twin folds their zero aggregate,
+    and the kernels' all-lane butterfly folds zero-padded lanes in
+    different tree positions than the XLA chunk reduce — with the exact
+    identity, zeros vanish from both fold trees and the two backends
+    aggregate the same nonzero values in the same groupings (bitwise).
+    """
+    return jnp.where(b == 0.0, a, jnp.where(a == 0.0, b, res))
 
 
 def fold_step(t_conorm_id: int, a, b, p=0.0):
@@ -73,7 +90,7 @@ def fold_step(t_conorm_id: int, a, b, p=0.0):
         p = _p(p)
         an, bn = 1.0 - a, 1.0 - b
         c = (an * bn) / jnp.maximum(p + (1.0 - p) * (an + bn - an * bn), 1e-6)
-        return 1.0 - c
+        return _zero_identity(a, b, 1.0 - c)
 
     if t_conorm_id == C.FRANK_TCN:  # p > 0, p != 1
         # cu:506-511 computes (p^(1-a)-1)(p^(1-b)-1)/(p-1) with powf;
@@ -84,13 +101,13 @@ def fold_step(t_conorm_id: int, a, b, p=0.0):
         ea = _expm1((1.0 - a) * lnp)
         eb = _expm1((1.0 - b) * lnp)
         c = jnp.log1p(ea * eb / (p - 1.0)) / lnp
-        return 1.0 - c
+        return _zero_identity(a, b, 1.0 - c)
 
     if t_conorm_id == C.YAGER_TCN:  # p > 0
         p = _p(p)
         c = jnp.maximum(
             0.0, 1.0 - jnp.power(jnp.power(a, p) + jnp.power(b, p), 1.0 / p))
-        return 1.0 - c
+        return _zero_identity(a, b, 1.0 - c)
 
     if t_conorm_id == C.ACZEL_ALSINA_TCN:  # p > 0
         p = _p(p)
@@ -101,7 +118,8 @@ def fold_step(t_conorm_id: int, a, b, p=0.0):
             jnp.power(-jnp.log(an_s), p) + jnp.power(-jnp.log(bn_s), p),
             1.0 / p))
         # cu:528-529: if 1-a < 1e-8 (or 1-b) the result saturates to 1
-        return jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+        res = jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+        return _zero_identity(a, b, res)
 
     if t_conorm_id == C.DOMBI_TCN:  # p > 0
         p = _p(p)
@@ -111,14 +129,15 @@ def fold_step(t_conorm_id: int, a, b, p=0.0):
         c = 1.0 / (1.0 + jnp.power(
             jnp.power((1.0 - an_s) / an_s, p)
             + jnp.power((1.0 - bn_s) / bn_s, p), 1.0 / p))
-        return jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+        res = jnp.where((an < 1e-8) | (bn < 1e-8), 1.0, 1.0 - c)
+        return _zero_identity(a, b, res)
 
     if t_conorm_id == C.SCHWEIZER_SKLAR_TCN:  # p < 0
         p = _p(p)
         an = jnp.maximum(1.0 - a, 1e-30)
         bn = jnp.maximum(1.0 - b, 1e-30)
         c = jnp.power(jnp.power(an, p) + jnp.power(bn, p) - 1.0, 1.0 / p)
-        return 1.0 - c
+        return _zero_identity(a, b, 1.0 - c)
 
     raise ValueError(f'unknown t_conorm id: {t_conorm_id}')
 

@@ -53,7 +53,7 @@ def _params_vec(params: Dict, row0=0, cfg=None):
         margin = jnp.sqrt(jnp.asarray(
             params['dist_eps'] * params['dist_scale'], jnp.float32))
     bg = jnp.asarray(params['background_color'], jnp.float32).reshape(3)
-    return jnp.stack([
+    vec = jnp.stack([
         jnp.asarray(params['dist_scale'], jnp.float32),
         jnp.asarray(params['dist_shape'], jnp.float32),
         jnp.asarray(params['dist_shift'], jnp.float32),
@@ -72,6 +72,17 @@ def _params_vec(params: Dict, row0=0, cfg=None):
         jnp.asarray(row0, jnp.float32),
         jnp.asarray(margin, jnp.float32),
     ])
+    # Runtime-opaque on purpose: the Pallas kernels read this vector from
+    # SMEM (runtime scalars), but without the barrier the XLA backend would
+    # see trace-time CONSTANTS and XLA:TPU rewrites division by a constant
+    # with ~1-ulp error (measured: tools/ulp_bisect.py — `x / traced` is
+    # bitwise across Mosaic/XLA while `x / const` chains differ by 1-2 ulp).
+    # That skew breaks the bitwise-frag contract this module exists to
+    # provide: it flips max-t-conorm exact-equality winners (cu:574-575)
+    # and is amplified to O(1) gradient error by the frank backward's 1e-6
+    # saturation guard.  The barrier makes both compilers emit true
+    # runtime divides, which agree bitwise.
+    return jax.lax.optimization_barrier(vec)
 
 
 def _dis_from_dis2(dis2, cfg):

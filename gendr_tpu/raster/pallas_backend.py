@@ -24,9 +24,11 @@ backward cu:866-1065) for the TPU execution model:
   at 256², dwarfing the kernels themselves.  For LARGE surface textures
   (TS > HARD_INKERNEL_TS_CAP) the kernel emits only the winning face index
   and the gather/segment-sum epilogues take over, which is what lifts the
-  texture-size cap for hard RGB.  Softmax RGB samples in-kernel for
-  TS<=36 surface and vertex textures; surface TS>36 with softmax falls
-  back to the XLA backend.
+  texture-size cap for hard RGB.  Softmax RGB samples in-kernel: vertex
+  textures and surface TS<=36 unroll the texel one-hot; larger surface
+  textures stream texel blocks through a fori_loop (dynamic block range)
+  up to SOFTMAX_TS_CAP=1024, beyond which the config falls back to the
+  XLA backend (see fallback_reason).
 """
 
 from __future__ import annotations

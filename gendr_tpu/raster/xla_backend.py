@@ -65,11 +65,19 @@ def _pixel_grid_full(image_size: int):
 
 
 def tconorm_chunk_reduce(tid: int, frags: jnp.ndarray, p) -> jnp.ndarray:
-    """Tree-reduce the face axis (last) with the t-conorm.
+    """Reduce the face axis (last) with the t-conorm.
 
-    Associativity + commutativity of t-conorms makes the tree order
-    equivalent to the reference's sequential fold up to float rounding;
-    0 is the neutral element so zero-padding is exact.
+    Associativity + commutativity of t-conorms makes any tree order
+    equivalent to the reference's sequential fold up to float rounding —
+    but the ROUNDING must match the Pallas kernels bitwise (the frank
+    backward amplifies ulp-level aggregate skew at saturation), so this
+    mirrors ``pallas_backend._tconorm_butterfly`` exactly: an
+    ascending-stride roll butterfly over a zero-padded power-of-two width.
+    Lane 0 then holds the fold of a balanced segment tree whose zero
+    lanes vanish exactly (tconorms._zero_identity), making the nonzero
+    grouping identical across the two backends even though the kernel
+    pads to its fixed 128-lane chunk and this pads to the next power of
+    two.
     """
     n = frags.shape[-1]
     m = 1
@@ -78,10 +86,10 @@ def tconorm_chunk_reduce(tid: int, frags: jnp.ndarray, p) -> jnp.ndarray:
     if m != n:
         pad = jnp.zeros(frags.shape[:-1] + (m - n,), frags.dtype)
         frags = jnp.concatenate([frags, pad], axis=-1)
-    while m > 1:
-        h = m // 2
-        frags = T.fold_step(tid, frags[..., :h], frags[..., h:m], p)
-        m = h
+    h = 1
+    while h < m:
+        frags = T.fold_step(tid, frags, jnp.roll(frags, h, axis=-1), p)
+        h *= 2
     return frags[..., 0]
 
 
@@ -259,14 +267,18 @@ def forward_carry(face_vertices, textures, finfo, fvalid, carry0,
         q = _pair_quantities(pk, xp, yp, cfg, par, fwd_only=True)
         frag, valid = q['frag'], q['valid']
 
-        # -- alpha aggregation (cu:791-801)
+        # -- alpha aggregation (cu:791-801).  The t-conorm parameter comes
+        # from the runtime-opaque par vector, NOT params (a trace-time
+        # constant): frank derives log(p) from it, and a const-vs-runtime
+        # asymmetry vs the Pallas kernels (which read SMEM) costs 1-2 ulp
+        # on the fold (tools/ulp_bisect.py).
         if cfg.aggr_alpha_func == C.ALPHA_HARD:
             alpha = jnp.where(jnp.any(frag > 0.5, axis=-1), 1.0, alpha)
         else:
             chunk_agg = tconorm_chunk_reduce(
-                cfg.aggr_alpha_func, frag, params['aggr_alpha_t_conorm_p'])
+                cfg.aggr_alpha_func, frag, par[PM.P_TCP])
             alpha = T.fold_step(cfg.aggr_alpha_func, alpha, chunk_agg,
-                                params['aggr_alpha_t_conorm_p'])
+                                par[PM.P_TCP])
 
         # -- RGB aggregation
         if cfg.channels == 'alpha':
@@ -413,7 +425,7 @@ def backward(face_vertices, textures, finfo, soft_colors, aggrs_info,
         else:
             c_grad_xy = gA[..., None] * T.aggregate_backward(
                 cfg.aggr_alpha_func, final[..., 3:4], frag,
-                params['aggr_alpha_t_conorm_p'])
+                par[PM.P_TCP])
         c_grad_xy = jnp.where(valid, c_grad_xy, 0.0)
 
         gz = None

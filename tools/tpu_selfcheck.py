@@ -108,6 +108,24 @@ CONFIGS = [
     # coverages bitwise-equal on hardware, so this must agree exactly
     dict(dist_func='logistic', aggr_alpha_func='max', aggr_rgb_func='hard',
          dist_scale=3e-3),
+    # The four historically-failing matrix configs (r4 verdict), pinned in
+    # the DEFAULT selfcheck so a regression in any of them fails the
+    # standard gate, not just the full 36-minute matrix.  Root causes and
+    # fixes (r5): reciprocal's multi-divide CDF chain and gamma's Kummer
+    # series compiled to different roundings under Mosaic vs XLA until the
+    # params optimization_barrier + single-divide reciprocal (frag skew
+    # flipped exact-equality max winners); frank x compact-support
+    # amplified fold-tree rounding differences at CDF saturation until the
+    # XLA chunk reduce mirrored the kernel butterfly with exact-zero
+    # identities (ops/tconorms._zero_identity).
+    dict(dist_func='cubic_hermite', aggr_alpha_func='frank',
+         aggr_alpha_t_conorm_p=2.0, aggr_rgb_func='hard', dist_scale=5e-2),
+    dict(dist_func='wigner_semicircle', aggr_alpha_func='frank',
+         aggr_alpha_t_conorm_p=2.0, aggr_rgb_func='hard', dist_scale=5e-2),
+    dict(dist_func='reciprocal', aggr_alpha_func='max',
+         aggr_rgb_func='hard', dist_scale=5e-2),
+    dict(dist_func='gamma_rev', dist_shape=2.0, aggr_alpha_func='max',
+         aggr_rgb_func='hard', dist_scale=5e-2),
 ]
 
 
@@ -320,11 +338,23 @@ def matrix_check():
             ip, gp = run('pallas')
             img_err = np.abs(ix - ip).max()
             gclose = np.isclose(gx, gp, atol=5e-4, rtol=5e-3).mean()
+            # winner-aware diagnostics (r4 verdict demand #7): the alpha
+            # channel separates "coverage/frag skew" (which flips the max
+            # t-conorm's exact-equality winner and frank's saturation
+            # conditioning) from "wrong gradient arithmetic" — a FAIL with
+            # alpha bitwise-equal is a backward bug; a FAIL with alpha
+            # bit-diffs is a forward coverage divergence.
+            nbit = int((ix[:, 3].view(np.uint32)
+                        != ip[:, 3].view(np.uint32)).sum())
             ok = bool(img_err < 2e-3 and gclose > 0.99)
             failures += 0 if ok else 1
+            diag = f' alpha_bitdiff={nbit}'
+            if not ok:
+                diag += (' [forward frag/fold divergence]' if nbit
+                         else ' [backward-only divergence]')
             print(f'[{"OK  " if ok else "FAIL"}] {dist} x {tcn}'
                   f'{f"(p={p})" if p else ""}: img_err={img_err:.2e} '
-                  f'grad_agree={gclose:.4f}', flush=True)
+                  f'grad_agree={gclose:.4f}{diag}', flush=True)
     print(f'matrix: {total - failures}/{total} configs green',
           flush=True)
     print('selfcheck:', 'PASS' if failures == 0 else f'{failures} FAILURES')
