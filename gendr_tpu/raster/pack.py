@@ -408,6 +408,166 @@ def compact_hits(mask):
     return tile_counts, tile_ids, chunk_counts, chunk_ids
 
 
+# ---------------------------------------------------------------------------
+# Per-tile face compaction (octet-granular)
+# ---------------------------------------------------------------------------
+
+OCT = 8          # compaction granule: 8 Morton-consecutive faces
+OCT_CAP = 16     # octets per tile slab -> OCT_CAP*OCT = 128 slots = 1 chunk
+
+
+def _tile_rects(image_size, tile_w, tile_h, height=None, row0=0):
+    """NDC rectangles of the 2D pixel tiles ([T] each of xmin/xmax/
+    ymin/ymax), matching tile_chunk_mask's tile geometry."""
+    is_ = image_size
+    height = is_ if height is None else height
+    tx_n = is_ // tile_w
+    ty_n = height // tile_h
+    t_idx = jnp.arange(tx_n * ty_n)
+    ty, tx = t_idx // tx_n, t_idx % tx_n
+    c0 = tx * tile_w
+    r0 = row0 + ty * tile_h
+    txmin = (2.0 * c0 + 1.0 - is_) / is_
+    txmax = (2.0 * (c0 + tile_w - 1) + 1.0 - is_) / is_
+    tymax = (2.0 * (is_ - 1 - r0) + 1.0 - is_) / is_
+    tymin = (2.0 * (is_ - 1 - (r0 + tile_h - 1)) + 1.0 - is_) / is_
+    return txmin, txmax, tymin, tymax
+
+
+def compact_plan(fv, tex, fvalid, image_size, tile_w, tile_h, margin,
+                 n_chunks, face_chunk, height=None, row0=0):
+    """Per-tile face compaction plan (the 3.2x chunk-iteration cut).
+
+    fv: [B, Fp, 9] Morton-sorted faces; tex: [B, Fp, TS, 3]; fvalid:
+    [B, Fp] (or [Fp]) bool.  Groups faces into octets (OCT Morton-
+    consecutive faces) and, per 2D pixel tile, compacts the <= OCT_CAP hit
+    octets (octet bbox union + margin overlaps the tile) into one
+    dedicated 128-slot chunk appended after the Fp originals.  Tiles whose
+    hit-octet count exceeds OCT_CAP keep the original chunk-granular hit
+    list (a per-tile value-level fallback — no trace-level branch), so
+    correctness never depends on the cap.
+
+    Returns a dict:
+      slot_fv [B, S, 9], slot_tex [B, S, TS, 3], slot_fvalid [B, S]
+          (S = T*OCT_CAP*OCT): the appended faces; dead slots (padding /
+          overflow tiles) have fvalid 0.
+      oct_ids [B, T*OCT_CAP] int32: source octet of each slot group (for
+          the backward's slot->face gradient scatter).
+      tile_counts [B, T], tile_ids [B, T, Kcap]: forward hit lists —
+          compact tiles list just their appended chunk (id n_chunks + t),
+          overflow tiles their original hit chunks.
+      chunk_counts [B, K'], chunk_ids [B, K', T]: backward lists over the
+          K' = n_chunks + T total chunks.
+    """
+    B, Fp = fv.shape[:2]
+    K = n_chunks
+    noct = Fp // OCT
+    xs = fv[..., 0::3]
+    ys = fv[..., 1::3]
+    if fvalid.ndim == 1:
+        fvalid = jnp.broadcast_to(fvalid[None, :], (B, Fp))
+    big = jnp.float32(1e30)
+    fxmin = jnp.where(fvalid, jnp.min(xs, -1), big).reshape(B, noct, OCT)
+    fxmax = jnp.where(fvalid, jnp.max(xs, -1), -big).reshape(B, noct, OCT)
+    fymin = jnp.where(fvalid, jnp.min(ys, -1), big).reshape(B, noct, OCT)
+    fymax = jnp.where(fvalid, jnp.max(ys, -1), -big).reshape(B, noct, OCT)
+    oxmin = fxmin.min(-1)
+    oxmax = fxmax.max(-1)
+    oymin = fymin.min(-1)
+    oymax = fymax.max(-1)
+
+    txmin, txmax, tymin, tymax = _tile_rects(image_size, tile_w, tile_h,
+                                             height, row0)
+    T = txmin.shape[0]
+    ov = ((txmin[None, :, None] <= oxmax[:, None, :] + margin)
+          & (txmax[None, :, None] >= oxmin[:, None, :] - margin)
+          & (tymin[None, :, None] <= oymax[:, None, :] + margin)
+          & (tymax[None, :, None] >= oymin[:, None, :] - margin))
+    # [B, T, noct] octet-hit mask
+    n_oct = ov.sum(-1).astype(jnp.int32)                      # [B, T]
+    overflow = n_oct > OCT_CAP
+    active = (n_oct > 0) & (~overflow)
+
+    # first OCT_CAP hit octets per tile, ascending Morton order
+    oct_sort = jnp.argsort(1 - ov.astype(jnp.int32), axis=2,
+                           stable=True).astype(jnp.int32)
+    oct_ids = oct_sort[:, :, :OCT_CAP]                        # [B, T, CAP]
+    oct_slot_valid = (jnp.arange(OCT_CAP)[None, None, :] < n_oct[..., None]) \
+        & active[..., None]                                   # [B, T, CAP]
+
+    # gather the slot faces/textures octet-wise (contiguous 8-face slices)
+    flat_ids = oct_ids.reshape(B, T * OCT_CAP)
+    fv_o = fv.reshape(B, noct, OCT * 9)
+    slot_fv = jnp.take_along_axis(fv_o, flat_ids[..., None], axis=1) \
+        .reshape(B, T * OCT_CAP * OCT, 9)
+    TS = tex.shape[2]
+    tex_o = tex.reshape(B, noct, OCT * TS * 3)
+    slot_tex = jnp.take_along_axis(tex_o, flat_ids[..., None], axis=1) \
+        .reshape(B, T * OCT_CAP * OCT, TS, 3)
+    fval_o = fvalid.reshape(B, noct, OCT)
+    slot_fvalid = jnp.take_along_axis(fval_o, flat_ids[..., None], axis=1)
+    slot_fvalid = slot_fvalid & oct_slot_valid[..., None]
+    slot_fvalid = slot_fvalid.reshape(B, T * OCT_CAP * OCT)
+
+    # forward hit lists: chunk-granular for overflow tiles, the single
+    # appended chunk otherwise.  Capacity K+1 covers both.
+    chunk_mask = _chunk_mask_from_octets(ov, face_chunk)      # [B, T, K]
+    orig_sorted = jnp.argsort(1 - chunk_mask, axis=2,
+                              stable=True).astype(jnp.int32)
+    orig_counts = chunk_mask.sum(-1).astype(jnp.int32)
+    pad_col = jnp.zeros((B, T, 1), jnp.int32)
+    ids_over = jnp.concatenate([orig_sorted, pad_col], axis=2)
+    slot_chunk = (K + jnp.arange(T, dtype=jnp.int32))[None, :, None]
+    ids_compact = jnp.broadcast_to(slot_chunk, (B, T, K + 1))
+    tile_ids = jnp.where(overflow[..., None], ids_over, ids_compact)
+    tile_counts = jnp.where(overflow, orig_counts,
+                            active.astype(jnp.int32))
+
+    # backward lists over K' = K + T chunks: original chunks serve only
+    # overflow tiles; appended chunk K+t serves tile t when active
+    mask_oo = chunk_mask * overflow[..., None].astype(jnp.int32)
+    mask_oo_t = jnp.swapaxes(mask_oo, 1, 2)                   # [B, K, T]
+    orig_tiles = jnp.argsort(1 - mask_oo_t, axis=2,
+                             stable=True).astype(jnp.int32)
+    orig_tcounts = mask_oo_t.sum(-1).astype(jnp.int32)
+    slot_tiles = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None, :, None], (B, T, T))
+    chunk_ids = jnp.concatenate([orig_tiles, slot_tiles], axis=1)
+    chunk_counts = jnp.concatenate(
+        [orig_tcounts, active.astype(jnp.int32)], axis=1)
+
+    return dict(slot_fv=slot_fv, slot_tex=slot_tex,
+                slot_fvalid=slot_fvalid, oct_ids=flat_ids,
+                tile_counts=tile_counts, tile_ids=tile_ids,
+                chunk_counts=chunk_counts, chunk_ids=chunk_ids)
+
+
+def _chunk_mask_from_octets(ov, face_chunk):
+    """[B, T, noct] octet-hit mask -> [B, T, K] chunk-hit mask (a chunk is
+    hit iff any of its octets is)."""
+    B, T, noct = ov.shape
+    opc = face_chunk // OCT
+    return ov.reshape(B, T, noct // opc, opc).any(-1).astype(jnp.int32)
+
+
+def scatter_slots(slot_vals, oct_ids, noct):
+    """Deterministic slot->face gradient scatter.
+
+    slot_vals: [B, S, C] per-slot values in slot order (S = T*OCT_CAP*OCT);
+    oct_ids: [B, T*OCT_CAP] source octet per slot group.  Returns
+    [B, noct*OCT, C]: per-face sums over every tile that compacted the
+    face.  segment_sum is deterministic, and slots are octet-contiguous so
+    the reduction runs over T*OCT_CAP rows, not T*OCT_CAP*OCT.
+    """
+    import jax
+    B, S, Cc = slot_vals.shape
+    G = oct_ids.shape[1]
+    v = slot_vals.reshape(B, G, OCT * Cc)
+    out = jax.vmap(lambda vv, ss: jax.ops.segment_sum(
+        vv, ss, num_segments=noct))(v, oct_ids)
+    return out.reshape(B, noct * OCT, Cc)
+
+
 def morton_order(packed, fvalid):
     """Spatial (Morton/Z-curve) face ordering: [B, F'] permutation.
 

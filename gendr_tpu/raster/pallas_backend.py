@@ -552,11 +552,44 @@ def _xla_fallback(cfg, textures):
     return True
 
 
+_COMPACT_ALPHA = None  # set below (C constants)
+
+
+def _compact_eligible(cfg: C.RenderConfig, TS, T_tiles, allow_compact):
+    """Static gate for per-tile face compaction (see config.RenderConfig.
+    compact).  Restrictions and why:
+      * deferred alpha families only — the parametric fold families
+        (frank &c.) aggregate through the 128-lane butterfly whose tree
+        positions the XLA twin mirrors exactly; re-laning faces into
+        per-tile slots would re-shape that tree and re-open the
+        saturation-amplified parity gap the r5 fixes closed.  The
+        deferred families are order-exact (max/hard) or already
+        order-reassociated (probabilistic/einstein per-lane statistics).
+      * single-shard renders only (allow_compact=False under fp sharding
+        / external fvalid): appended slot ids grow each shard's id space
+        past its face count, which would break the contiguous
+        base_offset partitioning of winner ids across shards.
+      * bounded appended memory: T*128 slots x NI packed rows.
+    """
+    if cfg.compact != 'auto' or not allow_compact:
+        return False
+    if cfg.aggr_alpha_func not in (C.ALPHA_HARD, C.MAX_TCN,
+                                   C.PROBABILISTIC_TCN, C.EINSTEIN_TCN):
+        return False
+    NI = pack.num_rows(cfg.texture_type, TS)
+    slots = T_tiles * 128
+    return slots * NI * 4 <= 32 * 1024 * 1024
+
+
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
-             fvalid_in=None, row_band=None):
+             fvalid_in=None, row_band=None, allow_compact=True):
     """Sort, pack, and build cull lists once; shared by fwd and bwd.
     ``row_band=(row0, height)`` builds the cull lists for that image row
-    band only (pixel-sharded path)."""
+    band only (pixel-sharded path).  When compaction is eligible
+    (_compact_eligible), each tile's hit faces are gathered octet-wise
+    into a dedicated 128-slot chunk appended after the Fp originals and
+    the hit lists point tiles at their own chunk — the kernels are
+    unchanged (they just follow the lists)."""
     B, F = face_vertices.shape[:2]
     is_ = cfg.image_size
     row0, hb = row_band if row_band is not None else (0, is_)
@@ -564,11 +597,34 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
                                                  F, FC, cfg, fvalid_in)
-    packed = pack.pack_faces(fv, tex, fvalid, cfg)
     margin = pack.cull_margin(cfg, params)
-    mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC, margin,
-                                height=hb, row0=row0)
-    tile_counts, tile_ids, chunk_counts, chunk_ids = pack.compact_hits(mask)
+    T_tiles = (is_ * hb) // (tile_w * tile_h)
+    TS = textures.shape[2]
+    use_compact = (FC == 128 and fvalid_in is None
+                   and _compact_eligible(cfg, TS, T_tiles, allow_compact))
+    aux_extra = {}
+    if use_compact:
+        plan = pack.compact_plan(fv, tex, fvalid, is_, tile_w, tile_h,
+                                 margin, K, FC, height=hb, row0=row0)
+        fv = jnp.concatenate([fv, plan['slot_fv']], axis=1)
+        tex = jnp.concatenate([tex, plan['slot_tex']], axis=1)
+        fvalid_full = jnp.concatenate(
+            [jnp.broadcast_to(fvalid[None, :], (B, Fp)),
+             plan['slot_fvalid']], axis=1)
+        packed = pack.pack_faces(fv, tex, fvalid_full, cfg)
+        tile_counts, tile_ids = plan['tile_counts'], plan['tile_ids']
+        chunk_counts, chunk_ids = plan['chunk_counts'], plan['chunk_ids']
+        # compaction-ness is NOT stored as a flag: aux travels through the
+        # custom-VJP residual pytree where a Python bool would turn into a
+        # traced leaf; consumers detect it statically via
+        # packed.shape[2] > perm.shape[1]
+        aux_extra = dict(oct_ids=plan['oct_ids'])
+    else:
+        packed = pack.pack_faces(fv, tex, fvalid, cfg)
+        mask = pack.tile_chunk_mask(packed, is_, tile_w, tile_h, FC,
+                                    margin, height=hb, row0=row0)
+        (tile_counts, tile_ids, chunk_counts,
+         chunk_ids) = pack.compact_hits(mask)
     # inverse permutation via scatter (an argsort here would re-sort every
     # backward step); iperm[b, perm[b, i]] = i
     Fp = perm.shape[1]
@@ -578,7 +634,8 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
                              perm.shape))
     return dict(packed=packed, perm=perm, iperm=iperm,
                 tile_counts=tile_counts, tile_ids=tile_ids,
-                chunk_counts=chunk_counts, chunk_ids=chunk_ids)
+                chunk_counts=chunk_counts, chunk_ids=chunk_ids,
+                **aux_extra)
 
 
 def forward(face_vertices, textures, finfo, cfg: C.RenderConfig,
@@ -758,8 +815,14 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
     restricts the render to that image row band (pixel-sharded path).
     Returns (carry, aux).
     """
+    # Compaction must stay off under fp sharding (base_offset != 0 — it
+    # may also be a traced axis-index product — or an external fvalid):
+    # appended slot ids would outgrow this shard's face count and collide
+    # with the next shard's base_offset id range.
+    allow_compact = (isinstance(base_offset, int) and base_offset == 0
+                     and fvalid is None)
     out, aux = _fwd_kernel_out(face_vertices, textures, cfg, params, aux,
-                               fvalid, row_band)
+                               fvalid, row_band, allow_compact=allow_compact)
     alpha = out[:, 0]
     if cfg.channels == 'alpha':
         # silhouette-only: identity state everywhere but alpha
@@ -798,7 +861,8 @@ def forward_partial(face_vertices, textures, cfg: C.RenderConfig,
 
 
 def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
-                    params: Dict, aux=None, fvalid=None, row_band=None):
+                    params: Dict, aux=None, fvalid=None, row_band=None,
+                    allow_compact=True):
     """Run the forward kernel; returns (out [B, NO_F, P] channel-major in
     row-major pixel order, aux).  ``row_band=(row0, height)`` renders only
     that image row band (pixel-sharded path); P = height * image_size."""
@@ -815,12 +879,14 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
 
     if aux is None:
         aux = _prepass(face_vertices, textures, cfg, params, fvalid,
-                       row_band)
+                       row_band, allow_compact)
     packed = aux['packed']
     tile_counts, tile_ids = aux['tile_counts'], aux['tile_ids']
     Fp = packed.shape[2]
     NI = packed.shape[1]
-    K = Fp // FC
+    # K here is the per-tile hit-list CAPACITY (the ids-row stride), which
+    # under compaction is K_orig+1, not the chunk count Fp//FC
+    K = tile_ids.shape[2]
     par = _params_vec(params, row0, cfg)
     NO_F = _fwd_out_cols(cfg, TS)
 
@@ -1302,7 +1368,10 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
 
     if aux is None:
         aux = _prepass(face_vertices, textures, cfg, params, fvalid,
-                       row_band)
+                       row_band,
+                       allow_compact=(isinstance(base_offset, int)
+                                      and base_offset == 0
+                                      and fvalid is None))
     packed, perm = aux['packed'], aux['perm']
     chunk_counts, chunk_ids = aux['chunk_counts'], aux['chunk_ids']
     Fp = packed.shape[2]
@@ -1389,6 +1458,11 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     # one XLA relayout for the whole tensor (the kernel keeps grads
     # lane-major; transposing per tile iteration inside the loop costs more)
     out = out.transpose(0, 1, 3, 2).reshape(B, Fp, NO_B)
+    Fp_o = perm.shape[1]
+    if Fp > Fp_o:  # compacted: fold the appended per-tile slot gradients
+        # back onto their source faces (deterministic octet segment-sum)
+        out = out[:, :Fp_o] + pack.scatter_slots(
+            out[:, Fp_o:], aux['oct_ids'], Fp_o // pack.OCT)
     # un-permute: grad for original face j sits at sorted position iperm[j]
     out = jnp.take_along_axis(out, iperm[..., None], axis=1)[:, :F]
     # re-inflate the suppressed all-zero columns (see _bwd_col_layout):
@@ -1408,6 +1482,9 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
         gt_sorted = _hard_tex_grad(packed, ag[:, 1], g[:, :3], cfg, TS, is_,
                                    hb, row0)
         gt_sorted = gt_sorted.reshape(B, Fp, -1)
+        if Fp > Fp_o:  # compacted: fold slot texture grads onto faces
+            gt_sorted = gt_sorted[:, :Fp_o] + pack.scatter_slots(
+                gt_sorted[:, Fp_o:], aux['oct_ids'], Fp_o // pack.OCT)
         grad_tex = jnp.take_along_axis(
             gt_sorted, iperm[..., None], axis=1)[:, :F] \
             .reshape((B, F) + textures.shape[2:])
