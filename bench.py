@@ -25,7 +25,8 @@ def main():
     ap.add_argument('--image-size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--face-chunk', type=int, default=128)
-    ap.add_argument('--pixel-tile', type=int, default=128)
+    ap.add_argument('--pixel-tile', type=int, default=0,
+                    help='0 = auto (256 with compaction, 128 without)')
     ap.add_argument('--level', type=int, default=3,
                     help='icosphere subdivision level (3 = 1280 faces)')
     ap.add_argument('--texture-size', type=int, default=1,
@@ -33,6 +34,9 @@ def main():
                          'exercises the blocked texel-streaming path')
     ap.add_argument('--rgb', default='hard',
                     help='hard (headline) | softmax')
+    ap.add_argument('--compact', default='auto',
+                    help='auto (per-tile face compaction when eligible) '
+                         '| off')
     ap.add_argument('--allow-fallback', action='store_true',
                     help='fall back to the XLA backend if the pallas path '
                          'fails at runtime (default: fail loudly — a '
@@ -72,7 +76,7 @@ def main():
     kw = dict(image_size=is_, dist_func='uniform', dist_scale=1e-2,
               aggr_alpha_func='probabilistic', aggr_rgb_func=args.rgb,
               backend=backend, face_chunk=args.face_chunk,
-              pixel_tile=args.pixel_tile)
+              pixel_tile=args.pixel_tile, compact=args.compact)
 
     def loss(fv_, tex_):
         img = render(fv_, tex_, **kw)

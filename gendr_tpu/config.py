@@ -139,11 +139,15 @@ class RenderConfig:
     backend: str = 'xla'
     # face-chunk size for the streaming aggregation scan
     face_chunk: int = 128
-    # pixel tile size for the Pallas kernel.  128 (a 16x8 tile, the
-    # hardware minimum) measures ~2% faster than 256 at 256^2/1280f now
-    # that empty tiles short-circuit: finer tiles intersect fewer face
-    # chunks, and the extra (mostly empty) programs are nearly free
-    pixel_tile: int = 128
+    # pixel tile size for the Pallas kernel; 0 = auto.  Without per-tile
+    # face compaction, 128 (a 16x8 tile, the hardware minimum) measures
+    # ~2% faster than 256 at 256^2/1280f (finer tiles intersect fewer
+    # face chunks and the extra mostly-empty programs are nearly free);
+    # WITH compaction the culling moved into the per-tile slab, so bigger
+    # 16x16 tiles amortize the loop and measure 24%% faster (0.841 vs
+    # 1.076 ms headline).  Auto picks 256 when compaction is eligible,
+    # 128 otherwise.
+    pixel_tile: int = 0
     # 'rgba' (reference semantics) or 'alpha' (silhouette-only fast path:
     # skips depth/RGB work entirely; RGB outputs are the background)
     channels: str = 'rgba'
@@ -175,7 +179,7 @@ class RenderConfig:
     def create(cls, image_size=256, dist_func='uniform', dist_squared=False,
                aggr_alpha_func='probabilistic', aggr_rgb_func='softmax',
                double_side=True, texture_type='surface', backend='xla',
-               face_chunk=128, pixel_tile=128,
+               face_chunk=128, pixel_tile=0,
                channels='rgba', on_fallback='silent',
                compact='auto') -> 'RenderConfig':
         assert on_fallback in ('silent', 'warn', 'error'), on_fallback

@@ -459,6 +459,9 @@ def compact_plan(fv, tex, fvalid, image_size, tile_w, tile_h, margin,
       chunk_counts [B, K'], chunk_ids [B, K', T]: backward lists over the
           K' = n_chunks + T total chunks.
     """
+    # the appended slab IS one kernel chunk: its slot count must equal the
+    # face-chunk width or the K+t chunk-id addressing breaks
+    assert OCT_CAP * OCT == face_chunk, (OCT_CAP, OCT, face_chunk)
     B, Fp = fv.shape[:2]
     K = n_chunks
     noct = Fp // OCT
@@ -506,7 +509,8 @@ def compact_plan(fv, tex, fvalid, image_size, tile_w, tile_h, margin,
         .reshape(B, T * OCT_CAP * OCT, TS, 3)
     fval_o = fvalid.reshape(B, noct, OCT)
     slot_fvalid = jnp.take_along_axis(fval_o, flat_ids[..., None], axis=1)
-    slot_fvalid = slot_fvalid & oct_slot_valid[..., None]
+    slot_fvalid = slot_fvalid \
+        & oct_slot_valid.reshape(B, T * OCT_CAP)[..., None]
     slot_fvalid = slot_fvalid.reshape(B, T * OCT_CAP * OCT)
 
     # forward hit lists: chunk-granular for overflow tiles, the single

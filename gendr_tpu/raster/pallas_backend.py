@@ -527,8 +527,13 @@ def fallback_reason(cfg, textures):
         return (f'surface texture_res {int(round(textures.shape[2]**0.5))} '
                 f'(TS={textures.shape[2]} texels/face > {SOFTMAX_TS_CAP}) '
                 f'with softmax RGB')
-    if not _interpret() and not _tiles_feasible(cfg.image_size,
-                                                cfg.pixel_tile):
+    if not _interpret() and not _tiles_feasible(
+            cfg.image_size,
+            _tile_want(cfg, textures.shape[2], cfg.image_size,
+                       cfg.image_size,
+                       Fp=-(-textures.shape[1]
+                            // _align_fc(cfg.face_chunk))
+                       * _align_fc(cfg.face_chunk))):
         return (f'image_size {cfg.image_size} has no 128-aligned pixel '
                 f'tiling on TPU (use a multiple of 128, e.g. 128/256/768)')
     return False
@@ -581,6 +586,15 @@ def _compact_eligible(cfg: C.RenderConfig, TS, T_tiles, allow_compact):
     return slots * NI * 4 <= 32 * 1024 * 1024
 
 
+def _compact_density_ok(T_tiles, Fp):
+    # Dense-scene gate: with more than ~8 faces per tile the per-tile hit
+    # octets overflow OCT_CAP and tiles fall back to the (coarser-tiled)
+    # chunk lists, which measures SLOWER than the plain chunk-granular
+    # path (256^2 fwd+bwd: 1280f 0.87 ms compacted vs 1.08 plain — a win;
+    # but 5120f 2.15 vs 1.75 and 20480f 4.37 vs 3.13 — regressions).
+    return Fp is None or Fp <= 8 * T_tiles
+
+
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
              fvalid_in=None, row_band=None, allow_compact=True):
     """Sort, pack, and build cull lists once; shared by fwd and bwd.
@@ -594,14 +608,18 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     is_ = cfg.image_size
     row0, hb = row_band if row_band is not None else (0, is_)
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
+    Fp_pad = -(-F // FC) * FC
+    tile_w, tile_h = _pick_tile2d(
+        is_, _tile_want(cfg, textures.shape[2], is_, hb, allow_compact,
+                        Fp_pad), hb)
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
                                                  F, FC, cfg, fvalid_in)
     margin = pack.cull_margin(cfg, params)
     T_tiles = (is_ * hb) // (tile_w * tile_h)
     TS = textures.shape[2]
     use_compact = (FC == 128 and fvalid_in is None
-                   and _compact_eligible(cfg, TS, T_tiles, allow_compact))
+                   and _compact_eligible(cfg, TS, T_tiles, allow_compact)
+                   and _compact_density_ok(T_tiles, Fp))
     aux_extra = {}
     if use_compact:
         plan = pack.compact_plan(fv, tex, fvalid, is_, tile_w, tile_h,
@@ -872,7 +890,9 @@ def _fwd_kernel_out(face_vertices, textures, cfg: C.RenderConfig,
     row0, hb = row_band if row_band is not None else (0, is_)
     P = is_ * hb
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
+    tile_w, tile_h = _pick_tile2d(
+        is_, _tile_want(cfg, TS, is_, hb, allow_compact,
+                        -(-F // FC) * FC), hb)
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w
@@ -998,6 +1018,29 @@ def _sorted_faces(face_vertices, textures, F, FC, cfg, fvalid_in=None):
     fv, tex, perm = jax.lax.optimization_barrier((fv, tex, perm))
     K = Fp // FC
     return fv, tex, fvalid, Fp, K, perm
+
+
+def _tile_want(cfg: C.RenderConfig, TS, is_, hb, allow_compact=True,
+               Fp=None):
+    """Resolve the pixel-tile size budget (cfg.pixel_tile; 0 = auto).
+
+    Auto: 256 (16x16 tiles) when per-tile face compaction will be active
+    for this family — the compacted slab makes the per-tile loop ~1
+    iteration, so bigger tiles amortize program overhead (measured 0.841
+    vs 1.076 ms on the 256^2/1280f headline); 128 (16x8, the hardware
+    minimum) otherwise, where finer tiles cull better."""
+    if cfg.pixel_tile:
+        return cfg.pixel_tile
+    if (allow_compact and cfg.compact == 'auto'
+            and cfg.aggr_alpha_func in (C.ALPHA_HARD, C.MAX_TCN,
+                                        C.PROBABILISTIC_TCN,
+                                        C.EINSTEIN_TCN)):
+        T = (is_ * hb) // 256
+        NI = pack.num_rows(cfg.texture_type, TS)
+        if (T * 128 * NI * 4 <= 32 * 1024 * 1024
+                and _compact_density_ok(T, Fp)):
+            return 256
+    return 128
 
 
 def _pick_tile2d(is_, want, height=None):
@@ -1361,7 +1404,11 @@ def backward_from_aux(face_vertices, textures, aux, soft_colors,
     row0, hb = row_band if row_band is not None else (0, is_)
     P = is_ * hb
     FC = _align_fc(cfg.face_chunk)
-    tile_w, tile_h = _pick_tile2d(is_, cfg.pixel_tile, hb)
+    bwd_allow_compact = (isinstance(base_offset, int) and base_offset == 0
+                         and fvalid is None)
+    tile_w, tile_h = _pick_tile2d(
+        is_, _tile_want(cfg, TS, is_, hb, bwd_allow_compact,
+                        -(-F // FC) * FC), hb)
     TP = tile_w * tile_h
     T_tiles = P // TP
     tx_n = is_ // tile_w

@@ -83,9 +83,10 @@ def render(
     #
     backend='xla',
     face_chunk=128,
-    pixel_tile=128,
+    pixel_tile=0,
     channels='rgba',
     on_fallback='silent',
+    compact='auto',
 ):
     """Differentiable generalized rasterization.
 
@@ -101,7 +102,7 @@ def render(
         aggr_alpha_func=aggr_alpha_func, aggr_rgb_func=aggr_rgb_func,
         double_side=double_side, texture_type=texture_type, backend=backend,
         face_chunk=face_chunk, pixel_tile=pixel_tile, channels=channels,
-        on_fallback=on_fallback)
+        on_fallback=on_fallback, compact=compact)
 
     # dist_scale >= 0 and dist_eps >= 1 (functional/renderer.py:96, 101);
     # static python values are checked eagerly, traced values pass through.

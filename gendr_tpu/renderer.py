@@ -46,7 +46,7 @@ class GenDR:
                  #
                  backend='xla',
                  face_chunk=128,
-                 pixel_tile=128,
+                 pixel_tile=0,
                  channels='rgba',
                  on_fallback='silent',
                  ):

@@ -743,3 +743,143 @@ def test_bbox_gate_kills_phantom_sliver_coverage():
     q = PM._pair_math(row, jnp.float32(0.2), jnp.float32(0.2 + 1e-3),
                       [jnp.float32(x) for x in np.asarray(par)], cfg)
     assert float(np.asarray(q['frag'])) > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Per-tile face compaction (pack.compact_plan + appended-chunk hit lists)
+# ---------------------------------------------------------------------------
+
+def _compact_scene(seed=0, level=1):
+    """A scene that passes the compaction gates at 64^2 (level-1 sphere:
+    80 faces -> Fp=128 <= 8*T with 16x16 tiles)."""
+    from gendr_tpu import data
+    from gendr_tpu.geometry import core, transforms as T
+    rng = np.random.RandomState(seed)
+    v, f = data.icosphere(level)
+    verts = jnp.asarray(v)[None] * 0.8
+    eye = T.get_points_from_angles(2.732, 30.0, 45.0)
+    verts = T.perspective(T.look_at(verts, eye), 30.0)
+    return core.face_vertices(verts, jnp.asarray(f)[None]).reshape(1, -1, 9)
+
+
+@pytest.mark.parametrize('tcn,rgb,ts', [
+    ('probabilistic', 'hard', 1),
+    ('probabilistic', 'hard', 49),     # deferred winner-id epilogues
+    ('max', 'hard', 1),                # exact-equality winner detection
+    ('einstein', 'softmax', 1),
+    ('hard', 'hard', 1),
+])
+def test_compacted_render_matches_xla(tcn, rgb, ts):
+    """The compacted pallas path (per-tile appended slot chunks) must
+    reproduce the XLA twin: forward images and vertex/texture gradients.
+    Asserts compaction actually triggered (packed grew past Fp) so the
+    gate can never silently shelve this coverage."""
+    from gendr_tpu.raster.render import render
+    rng = np.random.RandomState(3)
+    fv = _compact_scene()
+    F = fv.shape[2 - 1]
+    tex = jnp.asarray(rng.rand(1, F, ts, 3).astype(np.float32))
+    kw = dict(image_size=64, dist_func='logistic', dist_scale=3e-3,
+              aggr_alpha_func=tcn, aggr_rgb_func=rgb)
+    if tcn == 'hard':
+        kw['dist_func'] = 'hard'
+
+    cfg_kw = {k: v for k, v in kw.items() if k != 'dist_scale'}
+    cfg = C.RenderConfig.create(backend='pallas', **cfg_kw)
+    params = params_dict(dist_scale=3e-3)
+    aux = PB._prepass(fv, tex, cfg, params)
+    Fp = aux['perm'].shape[1]
+    assert aux['packed'].shape[2] > Fp, 'compaction gate did not trigger'
+
+    def loss(v_, t_, backend):
+        img = render(v_, t_, backend=backend, **kw)
+        return jnp.sum(img[:, 3] ** 2) * 0.5 + jnp.sum(img[:, :3]) * 0.1
+
+    outs = {}
+    for backend in ('xla', 'pallas'):
+        img = jax.jit(lambda a, b, bk=backend: render(
+            a, b, backend=bk, **kw))(fv, tex)
+        gf, gt = jax.jit(jax.grad(
+            lambda a, b, bk=backend: loss(a, b, bk),
+            argnums=(0, 1)))(fv, tex)
+        outs[backend] = tuple(np.asarray(x) for x in (img, gf, gt))
+    ix, gx, tx = outs['xla']
+    ip, gp, tp_ = outs['pallas']
+    assert np.abs(ix - ip).max() < 2e-3
+    # max: exact-equality winner detection flips a few pairs under the CPU
+    # harness (interpret mode has no FMA contraction, the XLA twin does);
+    # on hardware the selfcheck pins max bitwise.  Other folds: 0.99.
+    bar = 0.98 if tcn == 'max' else 0.99
+    assert np.isclose(gx, gp, atol=5e-4, rtol=5e-3).mean() > bar
+    assert np.isclose(tx, tp_, atol=5e-4, rtol=5e-3).mean() > bar
+
+
+def test_compacted_overflow_tiles_fall_back():
+    """Tiles whose hit-octet count exceeds OCT_CAP must keep the original
+    chunk-granular hit list (value-level fallback) and still render
+    correctly.  Triggered by a 384-face cluster squeezed into one corner
+    of a 128^2 image: the cluster tile sees 48 hit octets (> OCT_CAP=16)
+    while the scene still passes the density gate (384 <= 8*64)."""
+    from gendr_tpu.raster.render import render
+    rng = np.random.RandomState(5)
+    F = 384
+    # tiny random triangles clustered near one corner in NDC
+    centers = (rng.rand(F, 1, 2).astype(np.float32) * 0.15
+               + np.array([-0.85, 0.65], np.float32))
+    tri = centers + rng.randn(F, 3, 2).astype(np.float32) * 0.01
+    z = np.full((F, 3, 1), 3.0, np.float32) \
+        + rng.rand(F, 3, 1).astype(np.float32)
+    fv = jnp.asarray(np.concatenate([tri, z], -1).reshape(1, F, 9))
+    tex = jnp.ones((1, F, 1, 3), jnp.float32)
+    kw = dict(image_size=128, dist_func='logistic', dist_scale=3e-3,
+              aggr_alpha_func='probabilistic', aggr_rgb_func='hard')
+
+    cfg = C.RenderConfig.create(
+        backend='pallas', **{k: v for k, v in kw.items()
+                             if k != 'dist_scale'})
+    params = params_dict(dist_scale=3e-3)
+    aux = PB._prepass(fv, tex, cfg, params)
+    # compaction triggered AND at least one tile overflowed (count > 1)
+    assert aux['packed'].shape[2] > aux['perm'].shape[1]
+    assert int(np.asarray(aux['tile_counts']).max()) > 1
+
+    want = np.asarray(jax.jit(lambda a, b: render(
+        a, b, backend='xla', **kw))(fv, tex))
+    got = np.asarray(jax.jit(lambda a, b: render(
+        a, b, backend='pallas', **kw))(fv, tex))
+    assert np.abs(want - got).max() < 2e-3
+
+
+def test_compacted_band_render_bitwise():
+    """Row-band renders through the compacted path must be bitwise equal
+    to the same rows of the full render (the pixel-sharded contract):
+    per-tile slot layout depends only on the tile rect, so the fold order
+    per pixel is identical."""
+    from gendr_tpu.raster import xla_backend as XB
+    fv = _compact_scene()
+    F = fv.shape[1]
+    tex = jnp.ones((1, F, 1, 3), jnp.float32)
+    cfg = C.RenderConfig.create(
+        image_size=64, dist_func='logistic',
+        aggr_alpha_func='probabilistic', aggr_rgb_func='hard',
+        backend='pallas')
+    params = params_dict(dist_scale=3e-3)
+    bg = jnp.zeros((1, 64 * 64, 3), jnp.float32)
+
+    def finalize(carry, P_loc, bg_rows):
+        merged = XB.background_carry(1, P_loc, bg_rows, cfg, params)
+        merged = XB.merge_carries(merged, carry, cfg, params)
+        return XB.finalize(merged, cfg)[0]
+
+    carry, aux = PB.forward_partial(fv, tex, cfg, params)
+    assert aux['packed'].shape[2] > aux['perm'].shape[1]
+    full = np.asarray(finalize(carry, 64 * 64, bg))
+    bands = []
+    for r0 in (0, 32):
+        c, aux_b = PB.forward_partial(fv, tex, cfg, params,
+                                      row_band=(r0, 32))
+        assert aux_b['packed'].shape[2] > aux_b['perm'].shape[1]
+        bands.append(np.asarray(finalize(c, 64 * 32, bg[:, :64 * 32])))
+    band_img = np.concatenate(bands, axis=2)
+    nbit = int((full.view(np.uint32) != band_img.view(np.uint32)).sum())
+    assert nbit == 0, f'{nbit} values differ bitwise'
