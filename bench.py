@@ -159,7 +159,15 @@ def main():
         sync(run_2n(fv, tex, eps))
         t2 = time.perf_counter()
         times.append(((t2 - t1) - (t1 - t0)) / args.iters)
-    dt = float(np.min(times))
+    # A transient tunnel stall during run_n makes that repeat's delta
+    # garbage (even negative, observed once at 20480f); such deltas carry
+    # no information about device throughput, so only positive ones count.
+    pos = [t for t in times if t > 0]
+    if not pos:
+        print(f'bench: all {len(times)} deltas non-positive '
+              f'({times}) — tunnel too unstable to measure', file=sys.stderr)
+        return 1
+    dt = float(np.min(pos))
     pairs = B * is_ * is_ * F
     mpairs_per_s = pairs / dt / 1e6
     target = B * is_ * is_ * F / 2e-3 / 1e6  # <2 ms/frame north star
