@@ -435,33 +435,36 @@ def _tile_rects(image_size, tile_w, tile_h, height=None, row0=0):
 
 
 def compact_plan(fv, tex, fvalid, image_size, tile_w, tile_h, margin,
-                 n_chunks, face_chunk, height=None, row0=0):
-    """Per-tile face compaction plan (the 3.2x chunk-iteration cut).
+                 n_chunks, face_chunk, height=None, row0=0, slabs=1):
+    """Per-tile face compaction plan (3.2-5.5x chunk-iteration cuts).
 
     fv: [B, Fp, 9] Morton-sorted faces; tex: [B, Fp, TS, 3]; fvalid:
     [B, Fp] (or [Fp]) bool.  Groups faces into octets (OCT Morton-
-    consecutive faces) and, per 2D pixel tile, compacts the <= OCT_CAP hit
-    octets (octet bbox union + margin overlaps the tile) into one
-    dedicated 128-slot chunk appended after the Fp originals.  Tiles whose
-    hit-octet count exceeds OCT_CAP keep the original chunk-granular hit
-    list (a per-tile value-level fallback — no trace-level branch), so
-    correctness never depends on the cap.
+    consecutive faces) and, per 2D pixel tile, compacts the hit octets
+    (octet bbox union + margin overlaps the tile) into up to ``slabs``
+    dedicated 128-slot chunks appended after the Fp originals (chunk ids
+    n_chunks + t*slabs + j).  Denser scenes want more slabs: at 256^2,
+    1280f needs 1 (<=14 octets/tile), 5120f needs 4 (<=35).  Tiles whose
+    hit-octet count exceeds slabs*OCT_CAP keep the original chunk-
+    granular hit list (a per-tile value-level fallback — no trace-level
+    branch), so correctness never depends on the cap.
 
     Returns a dict:
       slot_fv [B, S, 9], slot_tex [B, S, TS, 3], slot_fvalid [B, S]
-          (S = T*OCT_CAP*OCT): the appended faces; dead slots (padding /
-          overflow tiles) have fvalid 0.
-      oct_ids [B, T*OCT_CAP] int32: source octet of each slot group (for
-          the backward's slot->face gradient scatter).
+          (S = T*slabs*OCT_CAP*OCT): the appended faces; dead slots
+          (padding / overflow tiles) have fvalid 0.
+      oct_ids [B, T*slabs*OCT_CAP] int32: source octet of each slot group
+          (for the backward's slot->face gradient scatter).
       tile_counts [B, T], tile_ids [B, T, Kcap]: forward hit lists —
-          compact tiles list just their appended chunk (id n_chunks + t),
-          overflow tiles their original hit chunks.
+          compact tiles list their appended chunks, overflow tiles their
+          original hit chunks.
       chunk_counts [B, K'], chunk_ids [B, K', T]: backward lists over the
-          K' = n_chunks + T total chunks.
+          K' = n_chunks + T*slabs total chunks.
     """
-    # the appended slab IS one kernel chunk: its slot count must equal the
-    # face-chunk width or the K+t chunk-id addressing breaks
+    # an appended slab IS one kernel chunk: its slot count must equal the
+    # face-chunk width or the K + t*slabs + j chunk-id addressing breaks
     assert OCT_CAP * OCT == face_chunk, (OCT_CAP, OCT, face_chunk)
+    CAP = slabs * OCT_CAP
     B, Fp = fv.shape[:2]
     K = n_chunks
     noct = Fp // OCT
@@ -488,57 +491,68 @@ def compact_plan(fv, tex, fvalid, image_size, tile_w, tile_h, margin,
           & (tymax[None, :, None] >= oymin[:, None, :] - margin))
     # [B, T, noct] octet-hit mask
     n_oct = ov.sum(-1).astype(jnp.int32)                      # [B, T]
-    overflow = n_oct > OCT_CAP
+    overflow = n_oct > CAP
     active = (n_oct > 0) & (~overflow)
+    # slabs actually needed per tile: ceil(n_oct / OCT_CAP), 0 if inactive
+    nslab = jnp.where(active,
+                      -(-jnp.minimum(n_oct, CAP) // OCT_CAP), 0)
 
-    # first OCT_CAP hit octets per tile, ascending Morton order
+    # first CAP hit octets per tile, ascending Morton order
     oct_sort = jnp.argsort(1 - ov.astype(jnp.int32), axis=2,
                            stable=True).astype(jnp.int32)
-    oct_ids = oct_sort[:, :, :OCT_CAP]                        # [B, T, CAP]
-    oct_slot_valid = (jnp.arange(OCT_CAP)[None, None, :] < n_oct[..., None]) \
+    oct_ids = oct_sort[:, :, :CAP]                            # [B, T, CAP]
+    oct_slot_valid = (jnp.arange(CAP)[None, None, :] < n_oct[..., None]) \
         & active[..., None]                                   # [B, T, CAP]
 
     # gather the slot faces/textures octet-wise (contiguous 8-face slices)
-    flat_ids = oct_ids.reshape(B, T * OCT_CAP)
+    flat_ids = oct_ids.reshape(B, T * CAP)
     fv_o = fv.reshape(B, noct, OCT * 9)
     slot_fv = jnp.take_along_axis(fv_o, flat_ids[..., None], axis=1) \
-        .reshape(B, T * OCT_CAP * OCT, 9)
+        .reshape(B, T * CAP * OCT, 9)
     TS = tex.shape[2]
     tex_o = tex.reshape(B, noct, OCT * TS * 3)
     slot_tex = jnp.take_along_axis(tex_o, flat_ids[..., None], axis=1) \
-        .reshape(B, T * OCT_CAP * OCT, TS, 3)
+        .reshape(B, T * CAP * OCT, TS, 3)
     fval_o = fvalid.reshape(B, noct, OCT)
     slot_fvalid = jnp.take_along_axis(fval_o, flat_ids[..., None], axis=1)
     slot_fvalid = slot_fvalid \
-        & oct_slot_valid.reshape(B, T * OCT_CAP)[..., None]
-    slot_fvalid = slot_fvalid.reshape(B, T * OCT_CAP * OCT)
+        & oct_slot_valid.reshape(B, T * CAP)[..., None]
+    slot_fvalid = slot_fvalid.reshape(B, T * CAP * OCT)
 
-    # forward hit lists: chunk-granular for overflow tiles, the single
-    # appended chunk otherwise.  Capacity K+1 covers both.
+    # forward hit lists: chunk-granular for overflow tiles, the tile's
+    # nslab appended chunks otherwise.  Capacity max(K, slabs)+1 covers
+    # both list shapes.
     chunk_mask = _chunk_mask_from_octets(ov, face_chunk)      # [B, T, K]
     orig_sorted = jnp.argsort(1 - chunk_mask, axis=2,
                               stable=True).astype(jnp.int32)
     orig_counts = chunk_mask.sum(-1).astype(jnp.int32)
-    pad_col = jnp.zeros((B, T, 1), jnp.int32)
-    ids_over = jnp.concatenate([orig_sorted, pad_col], axis=2)
-    slot_chunk = (K + jnp.arange(T, dtype=jnp.int32))[None, :, None]
-    ids_compact = jnp.broadcast_to(slot_chunk, (B, T, K + 1))
+    Kcap = max(K, slabs) + 1
+    ids_over = jnp.concatenate(
+        [orig_sorted,
+         jnp.zeros((B, T, Kcap - K), jnp.int32)], axis=2)
+    slot_chunk0 = K + jnp.arange(T, dtype=jnp.int32) * slabs  # [T]
+    ids_compact = slot_chunk0[None, :, None] \
+        + jnp.arange(Kcap, dtype=jnp.int32)[None, None, :]
+    ids_compact = jnp.broadcast_to(ids_compact, (B, T, Kcap))
     tile_ids = jnp.where(overflow[..., None], ids_over, ids_compact)
-    tile_counts = jnp.where(overflow, orig_counts,
-                            active.astype(jnp.int32))
+    tile_counts = jnp.where(overflow, orig_counts, nslab)
 
-    # backward lists over K' = K + T chunks: original chunks serve only
-    # overflow tiles; appended chunk K+t serves tile t when active
+    # backward lists over K' = K + T*slabs chunks: original chunks serve
+    # only overflow tiles; appended chunk K + t*slabs + j serves tile t
+    # when active and j < nslab(t)
     mask_oo = chunk_mask * overflow[..., None].astype(jnp.int32)
     mask_oo_t = jnp.swapaxes(mask_oo, 1, 2)                   # [B, K, T]
     orig_tiles = jnp.argsort(1 - mask_oo_t, axis=2,
                              stable=True).astype(jnp.int32)
     orig_tcounts = mask_oo_t.sum(-1).astype(jnp.int32)
     slot_tiles = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[None, :, None], (B, T, T))
+        jnp.arange(T, dtype=jnp.int32)[None, :, None, None],
+        (B, T, slabs, T)).reshape(B, T * slabs, T)
+    slot_counts = (jnp.arange(slabs, dtype=jnp.int32)[None, None, :]
+                   < nslab[..., None]).astype(jnp.int32) \
+        .reshape(B, T * slabs)
     chunk_ids = jnp.concatenate([orig_tiles, slot_tiles], axis=1)
-    chunk_counts = jnp.concatenate(
-        [orig_tcounts, active.astype(jnp.int32)], axis=1)
+    chunk_counts = jnp.concatenate([orig_tcounts, slot_counts], axis=1)
 
     return dict(slot_fv=slot_fv, slot_tex=slot_tex,
                 slot_fvalid=slot_fvalid, oct_ids=flat_ids,

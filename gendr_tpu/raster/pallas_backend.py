@@ -574,25 +574,52 @@ def _compact_eligible(cfg: C.RenderConfig, TS, T_tiles, allow_compact):
         / external fvalid): appended slot ids grow each shard's id space
         past its face count, which would break the contiguous
         base_offset partitioning of winner ids across shards.
-      * bounded appended memory: T*128 slots x NI packed rows.
+      * scene-shape slab budget + memory cap: see _compact_slabs.
     """
     if cfg.compact != 'auto' or not allow_compact:
         return False
-    if cfg.aggr_alpha_func not in (C.ALPHA_HARD, C.MAX_TCN,
-                                   C.PROBABILISTIC_TCN, C.EINSTEIN_TCN):
-        return False
+    return cfg.aggr_alpha_func in (C.ALPHA_HARD, C.MAX_TCN,
+                                   C.PROBABILISTIC_TCN, C.EINSTEIN_TCN)
+
+
+def _compact_slabs(cfg, TS, T_tiles, Fp):
+    # How many 128-slot slabs each tile's compacted chunk set gets
+    # (0 = compaction off for this scene shape).  The density ratio
+    # Fp/(8*T) estimates hit octets per active tile (measured: 1280f at
+    # 256 tiles -> max 14 octets/tile, 5120f -> 35, 20480f at 512^2 ->
+    # 49); each slab holds OCT_CAP=16 octets, and tiles that still
+    # overflow fall back per tile (value-level).  Beyond S=4 the overflow
+    # fraction and appended memory outgrow the win (20480f at 256^2: S=4
+    # leaves 43/93 tiles overflowed — measured slower than the chunk
+    # path), so denser scenes keep the chunk-granular lists.  Appended
+    # rows capped at 128 MB (write-once HBM traffic in the prepass).
+    if Fp is None:
+        return 1
+    if T_tiles <= 0:  # band smaller than one 256-pixel tile
+        return 0
+    r = Fp / (8.0 * T_tiles)
+    if r <= 1.0:
+        S = 1
+    elif r <= 4.0:
+        # two slabs/tile: measured 1.44 vs 1.75 ms at 256^2/5120f; S=4
+        # regressed (2.13) — the backward grid grows by T*S programs and
+        # the appended gather doubles, so more slabs lose what fewer
+        # iterations gain
+        S = 2
+    else:
+        return 0
+    if S > 1 and T_tiles * S > 1024:
+        # the backward runs one program per chunk: T*S appended chunks at
+        # 512^2 (2048+) cost more in per-program fixed work + slot-grad
+        # scatter than the iteration cut saves (measured 9.9 vs 7.7 ms at
+        # 512^2/20480f)
+        return 0
     NI = pack.num_rows(cfg.texture_type, TS)
-    slots = T_tiles * 128
-    return slots * NI * 4 <= 32 * 1024 * 1024
-
-
-def _compact_density_ok(T_tiles, Fp):
-    # Dense-scene gate: with more than ~8 faces per tile the per-tile hit
-    # octets overflow OCT_CAP and tiles fall back to the (coarser-tiled)
-    # chunk lists, which measures SLOWER than the plain chunk-granular
-    # path (256^2 fwd+bwd: 1280f 0.87 ms compacted vs 1.08 plain — a win;
-    # but 5120f 2.15 vs 1.75 and 20480f 4.37 vs 3.13 — regressions).
-    return Fp is None or Fp <= 8 * T_tiles
+    if T_tiles * S * 128 * NI * 4 > 128 * 1024 * 1024:
+        return 0
+    # a slab holds OCT_CAP octets = one chunk's worth of faces; more slabs
+    # than chunks is meaningless (and would over-slice the octet table)
+    return min(S, max(1, Fp // 128))
 
 
 def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
@@ -617,13 +644,14 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     margin = pack.cull_margin(cfg, params)
     T_tiles = (is_ * hb) // (tile_w * tile_h)
     TS = textures.shape[2]
-    use_compact = (FC == 128 and fvalid_in is None
-                   and _compact_eligible(cfg, TS, T_tiles, allow_compact)
-                   and _compact_density_ok(T_tiles, Fp))
+    slabs = _compact_slabs(cfg, TS, T_tiles, Fp_pad)
+    use_compact = (FC == 128 and fvalid_in is None and slabs > 0
+                   and _compact_eligible(cfg, TS, T_tiles, allow_compact))
     aux_extra = {}
     if use_compact:
         plan = pack.compact_plan(fv, tex, fvalid, is_, tile_w, tile_h,
-                                 margin, K, FC, height=hb, row0=row0)
+                                 margin, K, FC, height=hb, row0=row0,
+                                 slabs=slabs)
         fv = jnp.concatenate([fv, plan['slot_fv']], axis=1)
         tex = jnp.concatenate([tex, plan['slot_tex']], axis=1)
         fvalid_full = jnp.concatenate(
@@ -1036,9 +1064,7 @@ def _tile_want(cfg: C.RenderConfig, TS, is_, hb, allow_compact=True,
                                         C.PROBABILISTIC_TCN,
                                         C.EINSTEIN_TCN)):
         T = (is_ * hb) // 256
-        NI = pack.num_rows(cfg.texture_type, TS)
-        if (T * 128 * NI * 4 <= 32 * 1024 * 1024
-                and _compact_density_ok(T, Fp)):
+        if _compact_slabs(cfg, TS, T, Fp) > 0:
             return 256
     return 128
 
