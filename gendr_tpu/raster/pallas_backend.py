@@ -642,11 +642,13 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     fv, tex, fvalid, Fp, K, perm = _sorted_faces(face_vertices, textures,
                                                  F, FC, cfg, fvalid_in)
     margin = pack.cull_margin(cfg, params)
-    T_tiles = (is_ * hb) // (tile_w * tile_h)
     TS = textures.shape[2]
-    slabs = _compact_slabs(cfg, TS, T_tiles, Fp_pad)
+    # band-independent slab choice (see _tile_want): a band render must
+    # build the same per-tile slot layout as the full render
+    T_full = (is_ * is_) // (tile_w * tile_h)
+    slabs = _compact_slabs(cfg, TS, T_full, Fp_pad)
     use_compact = (FC == 128 and fvalid_in is None and slabs > 0
-                   and _compact_eligible(cfg, TS, T_tiles, allow_compact))
+                   and _compact_eligible(cfg, TS, T_full, allow_compact))
     aux_extra = {}
     if use_compact:
         plan = pack.compact_plan(fv, tex, fvalid, is_, tile_w, tile_h,
@@ -1063,7 +1065,12 @@ def _tile_want(cfg: C.RenderConfig, TS, is_, hb, allow_compact=True,
             and cfg.aggr_alpha_func in (C.ALPHA_HARD, C.MAX_TCN,
                                         C.PROBABILISTIC_TCN,
                                         C.EINSTEIN_TCN)):
-        T = (is_ * hb) // 256
+        # the slab ladder must be BAND-INDEPENDENT: a row-band render has
+        # fewer tiles, and letting that change S (or the tile size) would
+        # re-lane the per-tile slots and break the bitwise band == full
+        # contract of the pixel-sharded path.  Always gate on the full
+        # image's tile count.
+        T = (is_ * is_) // 256
         if _compact_slabs(cfg, TS, T, Fp) > 0:
             return 256
     return 128

@@ -850,13 +850,17 @@ def test_compacted_overflow_tiles_fall_back():
     assert np.abs(want - got).max() < 2e-3
 
 
-def test_compacted_band_render_bitwise():
+@pytest.mark.parametrize('level', [1, 2])
+def test_compacted_band_render_bitwise(level):
     """Row-band renders through the compacted path must be bitwise equal
     to the same rows of the full render (the pixel-sharded contract):
     per-tile slot layout depends only on the tile rect, so the fold order
-    per pixel is identical."""
+    per pixel is identical.  level=2 (320 faces -> Fp=384) crosses the
+    multi-slab ladder threshold where a band-local tile count would pick
+    a different S than the full render (caught on hardware in r5; the
+    ladder is now full-image-based)."""
     from gendr_tpu.raster import xla_backend as XB
-    fv = _compact_scene()
+    fv = _compact_scene(level=level)
     F = fv.shape[1]
     tex = jnp.ones((1, F, 1, 3), jnp.float32)
     cfg = C.RenderConfig.create(
