@@ -593,6 +593,14 @@ def _compact_slabs(cfg, TS, T_tiles, Fp):
     # leaves 43/93 tiles overflowed — measured slower than the chunk
     # path), so denser scenes keep the chunk-granular lists.  Appended
     # rows capped at 128 MB (write-once HBM traffic in the prepass).
+    if (cfg.texture_type == C.TEXTURE_SURFACE
+            and TS > pack.TEXEL_UNROLL_CAP):
+        # big streamed surface textures: the texel block loop dominates
+        # (11.7 ms at TS=256 — see the r4 roofline note), compaction's
+        # iteration cut is noise there, and the appended texel rows blow
+        # the packed array up to the point Mosaic's compile helper falls
+        # over (observed at TS=256 with 824-row slabs)
+        return 0
     if Fp is None:
         return 1
     if T_tiles <= 0:  # band smaller than one 256-pixel tile

@@ -764,7 +764,10 @@ def _compact_scene(seed=0, level=1):
 
 @pytest.mark.parametrize('tcn,rgb,ts', [
     ('probabilistic', 'hard', 1),
-    ('probabilistic', 'hard', 49),     # deferred winner-id epilogues
+    # TS=36: above the hard-RGB in-kernel cap (deferred winner-id
+    # epilogues) but at the compaction TS gate (streamed textures >36
+    # disable compaction — their texel rows blow up the appended slabs)
+    ('probabilistic', 'hard', 36),
     ('max', 'hard', 1),                # exact-equality winner detection
     ('einstein', 'softmax', 1),
     ('hard', 'hard', 1),
