@@ -560,7 +560,7 @@ def _xla_fallback(cfg, textures):
 _COMPACT_ALPHA = None  # set below (C constants)
 
 
-def _compact_eligible(cfg: C.RenderConfig, TS, T_tiles, allow_compact):
+def _compact_eligible(cfg: C.RenderConfig, allow_compact):
     """Static gate for per-tile face compaction (see config.RenderConfig.
     compact).  Restrictions and why:
       * deferred alpha families only — the parametric fold families
@@ -656,7 +656,7 @@ def _prepass(face_vertices, textures, cfg: C.RenderConfig, params: Dict,
     T_full = (is_ * is_) // (tile_w * tile_h)
     slabs = _compact_slabs(cfg, TS, T_full, Fp_pad)
     use_compact = (FC == 128 and fvalid_in is None and slabs > 0
-                   and _compact_eligible(cfg, TS, T_full, allow_compact))
+                   and _compact_eligible(cfg, allow_compact))
     aux_extra = {}
     if use_compact:
         plan = pack.compact_plan(fv, tex, fvalid, is_, tile_w, tile_h,
